@@ -1,0 +1,87 @@
+"""Varbyte (LEB128) + delta-gap posting-list codec, fully numpy-vectorized.
+
+Postings are stored docID-ascending; docIDs are delta-gapped then
+varbyte-encoded (the classic Lucene/SPIMI layout the north_star specifies:
+"termID -> delta-gapped, varbyte-compressed docID+tf postings").
+
+Both encode and decode are O(max_bytes) numpy passes — no per-element Python
+loop — so they run fast inside Arrow pandas UDFs on million-posting lists.
+
+Format: little-endian-7-bit LEB128, high bit 1 = continuation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_BYTES = 10  # enough for uint64
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64/int64 array (non-negative) to LEB128 bytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bits/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    for _ in range(_MAX_BYTES):
+        mask = tmp > 0
+        if not mask.any():
+            break
+        nbits[mask] += 1
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(nbits, 1)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    # position of first byte of each value
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    for i in range(_MAX_BYTES):
+        sel = nbytes > i  # values that have an i-th byte
+        if not sel.any():
+            break
+        pos = starts[sel] + i
+        chunk = (v[sel] >> np.uint64(7 * i)) & np.uint64(0x7F)
+        # continuation bit on every byte except the value's last
+        cont = (nbytes[sel] - 1 > i).astype(np.uint8) << 7
+        out[pos] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varbyte_decode(data: bytes) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    # group id of each byte, position within its group
+    group_id = np.cumsum(is_end) - is_end  # 0-based group of each byte
+    pos = np.arange(b.size) - starts[group_id]
+    contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    return np.add.reduceat(contrib, starts)
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly/weakly ascending ids → first value + gaps."""
+    a = np.asarray(sorted_ids, dtype=np.uint64)
+    if a.size == 0:
+        return a
+    out = np.empty_like(a)
+    out[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(gaps, dtype=np.uint64), dtype=np.uint64)
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """(docIDs ascending, term frequencies) → (varbyte(delta(docIDs)), varbyte(tfs))."""
+    return varbyte_encode(delta_encode(doc_ids)), varbyte_encode(tfs)
+
+
+def decode_postings(doc_blob: bytes, tf_blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    return delta_decode(varbyte_decode(doc_blob)), varbyte_decode(tf_blob)

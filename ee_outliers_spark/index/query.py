@@ -1,0 +1,308 @@
+"""BM25 top-k query execution.
+
+Replaces Elasticsearch query_string scoring (ref F2/T-BM25, SURVEY §2.2/§2.6;
+/root/reference/app/helpers/es.py:238-250 ships the query to ES — here the
+whole scoring pipeline is Spark).
+
+Two executors, rank-identical to each other and to the pure-Python oracle:
+
+1. ``bm25_topk_df`` — declarative DataFrame plan over naive (term, doc_id, tf)
+   postings: pushdown filter on term IN (...), broadcast term-stats join,
+   hash-agg per doc, TakeOrderedAndProject for the global top-k. Catalyst
+   picks partial aggregation and the limit-pushdown automatically.
+
+2. ``bm25_topk_wand`` — block-max WAND (Broder et al.; Ding & Suel block-max)
+   over compressed SPIMI segments: segments are doc-disjoint, so each task
+   runs an independent DAAT WAND over its segment's postings with a local
+   top-k heap; global answer = union of per-segment candidates → top-k. The
+   block-max metadata lets a segment skip whole 128-posting blocks whose
+   upper-bound score can't beat the local heap threshold.
+
+Scale: query-term pushdown prunes the parquet scan to |q| rows per segment;
+per-segment WAND never materializes a full posting list on the driver;
+the final top-k is a tree reduction (orderBy+limit ⇒ TakeOrdered).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tokenizer import tokenize_py, tokens_col
+from .build import B, K1, IndexPaths
+from .codec import varbyte_decode
+
+TOPK_SCHEMA = "doc_id long, score double"
+
+
+def _idf(n_docs: int, df_: int) -> float:
+    return math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+
+
+# --------------------------------------------------------------------------
+# DataFrame path (naive postings)
+# --------------------------------------------------------------------------
+
+def bm25_score_df(
+    postings: DataFrame,
+    doclen: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    mode: str = "or",
+) -> DataFrame:
+    """Per-doc BM25 scores for a bag of query terms → (doc_id, score).
+
+    mode='and' keeps only docs containing every distinct query term
+    (conjunctive filter context, ref F1 es.py:664-710).
+    """
+    terms = list(dict.fromkeys(terms))
+    p = postings.where(F.col("term").isin(terms))  # pushed to the scan
+    # df per term — vocabulary-sized, broadcast
+    tstats = p.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        p.join(F.broadcast(tstats), "term")
+        .join(doclen, "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            (
+                idf
+                * (F.col("tf") * (K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + K1 * (1.0 - B + B * F.col("dl") / F.lit(float(avgdl)))
+                )
+            ).alias("contrib"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    if mode == "and":
+        agg = agg.where(F.col("n_terms") == len(terms))
+    return agg.select("doc_id", "score")
+
+
+def bm25_topk_df(
+    postings: DataFrame,
+    doclen: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    k: int,
+    mode: str = "or",
+) -> DataFrame:
+    return (
+        bm25_score_df(postings, doclen, n_docs, avgdl, terms, mode)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def phrase_topk_df(
+    df: DataFrame,
+    doc_col: str,
+    text_col: str,
+    doclen: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    phrase: str,
+    k: int,
+) -> DataFrame:
+    """Phrase query: tf = token-position phrase frequency (Lucene PhraseQuery
+    semantics, occurrences may overlap); df = docs containing the phrase;
+    scored BM25. The scan stays JVM-side — array HOFs (split/filter/sequence)
+    inside whole-stage codegen, no Python UDF."""
+    toks = tokenize_py(phrase)
+    m = len(toks)
+    tarr = tokens_col(F.col(text_col))
+
+    def is_match(i):
+        cond = F.element_at(tarr, i + 1) == toks[0]
+        for j in range(1, m):
+            cond = cond & (F.element_at(tarr, i + j + 1) == toks[j])
+        return cond
+
+    starts = F.sequence(F.lit(0), F.size(tarr) - m)  # valid when size >= m
+    tf_expr = F.when(
+        F.size(tarr) >= m, F.size(F.filter(starts, is_match))
+    ).otherwise(F.lit(0))
+    hits = (
+        df.select(F.col(doc_col).alias("doc_id"), tf_expr.alias("tf"))
+        .where(F.col("tf") > 0)
+    )
+    dfp = hits.agg(F.count("*")).collect()[0][0]
+    if dfp == 0:
+        return hits.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+    idf = _idf(n_docs, int(dfp))
+    scored = hits.join(doclen, "doc_id").select(
+        "doc_id",
+        (
+            F.lit(idf)
+            * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(float(avgdl))))
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# --------------------------------------------------------------------------
+# block-max WAND path (compressed segments)
+# --------------------------------------------------------------------------
+
+class _TermCursor:
+    __slots__ = ("docs", "tfs", "dls", "idf", "pos", "block_last", "block_max", "max_score")
+
+    def __init__(self, docs, tfs, dls, idf, block_last, block_max):
+        self.docs = docs          # int64 asc
+        self.tfs = tfs
+        self.dls = dls            # dl aligned with docs
+        self.idf = idf
+        self.pos = 0
+        self.block_last = block_last
+        self.block_max = block_max  # idf-scaled block upper bounds
+        self.max_score = float(block_max.max()) if len(block_max) else 0.0
+
+    def cur_doc(self):
+        return self.docs[self.pos] if self.pos < len(self.docs) else None
+
+    def seek(self, target):
+        # jump to first posting with doc >= target (searchsorted = skip pointer)
+        self.pos += int(np.searchsorted(self.docs[self.pos:], target, side="left"))
+
+    def block_ub(self):
+        """Upper-bound score of the block containing the current posting."""
+        b = self.pos // 128
+        return self.block_max[min(b, len(self.block_max) - 1)]
+
+    def score_cur(self, avgdl):
+        tf = float(self.tfs[self.pos])
+        dl = float(self.dls[self.pos])
+        return self.idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def _wand_segment(
+    cursors: list[_TermCursor], k: int, avgdl: float, mode: str
+) -> list[tuple[int, float]]:
+    """Document-at-a-time WAND with block-max refinement over one segment."""
+    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of size k
+    theta = 0.0
+    n_req = len(cursors) if mode == "and" else 1
+    live = [c for c in cursors if c.cur_doc() is not None]
+    while len(live) >= n_req:
+        live.sort(key=lambda c: c.cur_doc())
+        # find pivot: smallest prefix whose Σ max_score ≥ θ (and ≥ n_req terms)
+        acc = 0.0
+        pivot_i = None
+        for i, c in enumerate(live):
+            acc += c.max_score
+            if i + 1 >= n_req and acc >= theta:
+                pivot_i = i
+                break
+        if pivot_i is None:
+            break
+        pivot_doc = live[pivot_i].cur_doc()
+        if mode == "and":
+            pivot_doc = live[-1].cur_doc()  # conjunction: align on max
+            pivot_i = len(live) - 1
+        if all(live[i].cur_doc() == pivot_doc for i in range(pivot_i + 1)):
+            # block-max check: refine the upper bound with block maxima
+            ub = sum(c.block_ub() for c in live[: pivot_i + 1])
+            full_eval = ub >= theta or len(heap) < k
+            if full_eval:
+                score = 0.0
+                matched = 0
+                for c in live:
+                    if c.cur_doc() == pivot_doc:
+                        score += c.score_cur(avgdl)
+                        matched += 1
+                if matched >= n_req:
+                    # rank order: score desc, doc asc → heap key (score, -doc)
+                    item = (score, -int(pivot_doc))
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+                    if len(heap) == k:
+                        theta = heap[0][0]
+            for c in live:
+                if c.cur_doc() == pivot_doc:
+                    c.pos += 1
+        else:
+            # advance all pre-pivot cursors to the pivot doc (skip via blocks)
+            for c in live[:pivot_i]:
+                c.seek(pivot_doc)
+        live = [c for c in live if c.cur_doc() is not None]
+        if mode == "and" and len(live) < len(cursors):
+            break
+    out = [(-d, s) for s, d in heap]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+def bm25_topk_wand(
+    spark: SparkSession,
+    paths: IndexPaths,
+    terms: list[str],
+    k: int,
+    mode: str = "or",
+) -> DataFrame:
+    """Block-max WAND over SPIMI segments → global top-k DataFrame."""
+    terms = list(dict.fromkeys(terms))
+    with open(paths.stats) as fh:
+        stats = json.load(fh)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+
+    tstats = {
+        r["term"]: int(r["df"])
+        for r in spark.read.parquet(paths.termstats)
+        .where(F.col("term").isin(terms))
+        .collect()
+    }
+    idfs = {t: _idf(n_docs, d) for t, d in tstats.items()}
+    if not idfs or (mode == "and" and len(idfs) < len(terms)):
+        # conjunction with a zero-df term matches nothing (oracle semantics)
+        return spark.createDataFrame([], TOPK_SCHEMA)
+
+    segs = spark.read.parquet(paths.segments).where(F.col("term").isin(terms))
+    dlseg = spark.read.parquet(paths.doclen_seg)
+
+    def run(key, seg_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+        if seg_pdf.empty or dl_pdf.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        dl_docs = np.cumsum(varbyte_decode(bytes(dl_pdf["doc_ids"].iloc[0]))).astype(np.int64)
+        dl_vals = varbyte_decode(bytes(dl_pdf["dls"].iloc[0])).astype(np.int64)
+        cursors = []
+        for _, row in seg_pdf.iterrows():
+            docs = np.cumsum(varbyte_decode(bytes(row["doc_blob"]))).astype(np.int64)
+            tfs = varbyte_decode(bytes(row["tf_blob"])).astype(np.int64)
+            dls = dl_vals[np.searchsorted(dl_docs, docs)]
+            idf = idfs[row["term"]]
+            bmax = np.asarray(row["block_max_impact"], dtype=np.float64) * idf
+            blast = np.asarray(row["block_last_doc"], dtype=np.int64)
+            cursors.append(_TermCursor(docs, tfs, dls, idf, blast, bmax))
+        if mode == "and" and len(cursors) < len(idfs):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        res = _wand_segment(cursors, k, avgdl, mode)
+        return pd.DataFrame(res, columns=["doc_id", "score"])
+
+    local = (
+        segs.groupBy("seg_id")
+        .cogroup(dlseg.groupBy("seg_id"))
+        .applyInPandas(run, schema=TOPK_SCHEMA)
+    )
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

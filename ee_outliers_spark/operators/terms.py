@@ -1,0 +1,151 @@
+"""Terms analyzer (SURVEY A2/A3/A7/A8; /root/reference/app/analyzers/terms.py).
+
+Whole-window semantics: the reference evaluates in client-side batches of
+100k targets with carryover (terms.py:40-72) purely to bound client memory —
+Spark aggregates the full window distributed, which the reference's own
+single-batch configs make canonical (SURVEY §7.3). ``min_target_buckets``
+survives as a HAVING filter.
+
+- ``within_aggregator`` (terms.py:311-377): per aggregator, count each target
+  value; frontier over that aggregator's counts; a doc is an outlier iff its
+  target's count crosses the frontier.
+- ``across_aggregators`` (terms.py:185-298): per aggregator, count DISTINCT
+  targets; ONE global frontier over those counts; every doc of a flagged
+  aggregator is an outlier.
+
+Whitelist-retract fixpoint (terms.py:138-157): whitelisted flagged docs are
+removed and the frontier recomputed until no flagged doc is whitelisted —
+a driver loop over a cached DataFrame (monotone shrinking ⇒ converges).
+
+Scale: groupBy(aggregator, target) with map-side partial aggregation; the
+across variant's frontier input is aggregator-cardinality-sized. The doc→flag
+join is an equi-join on the group keys (AQE handles skewed aggregators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .frontier import flag_outliers, frontier_df, outlier_test
+from .whitelist import value_set_col, whitelist_predicate
+
+AGG_SEP = " - "  # composite-key separator (ref es.py:796-803, utils.py:160-184)
+
+
+def aggregator_col(groups: list[str]) -> Column:
+    """Composite aggregator sentence — keeps the exact ' - ' join (ref A1)."""
+    return F.concat_ws(AGG_SEP, *[F.col(g).cast("string") for g in groups])
+
+
+def _prepare(df: DataFrame, groups: list[str], target: str) -> DataFrame:
+    """Client-side existence skip (ref F8 terms.py:112-120): drop rows missing
+    aggregator or target fields."""
+    out = df.dropna(subset=[*groups, target])
+    return out.withColumn("aggregator", aggregator_col(groups)).withColumn(
+        "target", F.col(target).cast("string")
+    )
+
+
+def terms_within(
+    df: DataFrame,
+    groups: list[str],
+    target: str,
+    trigger_method: str,
+    trigger_sensitivity: float,
+    trigger_on: str,
+    min_target_buckets: int | None = None,
+) -> DataFrame:
+    """One pass (no whitelist): rows + term_count/decision_frontier/is_outlier."""
+    base = _prepare(df, groups, target)
+    counts = base.groupBy("aggregator", "target").agg(
+        F.count("*").cast("long").alias("term_count")
+    )
+    if min_target_buckets:
+        ok = counts.groupBy("aggregator").agg(
+            F.count("*").alias("_nb")
+        ).where(F.col("_nb") >= min_target_buckets).select("aggregator")
+        counts = counts.join(ok, "aggregator", "left_semi")
+    flagged = flag_outliers(
+        counts, ["aggregator"], "term_count",
+        trigger_method, trigger_sensitivity, trigger_on,
+    )
+    return base.join(
+        flagged.select("aggregator", "target", "term_count", "decision_frontier",
+                       "is_outlier"),
+        ["aggregator", "target"],
+        "inner",
+    )
+
+
+def terms_across(
+    df: DataFrame,
+    groups: list[str],
+    target: str,
+    trigger_method: str,
+    trigger_sensitivity: float,
+    trigger_on: str,
+) -> DataFrame:
+    """One pass: rows + unique_target_count/decision_frontier/is_outlier.
+    The frontier is GLOBAL (one per window), computed over per-aggregator
+    distinct-target counts (ref terms.py:229-255)."""
+    base = _prepare(df, groups, target)
+    counts = base.groupBy("aggregator").agg(
+        F.countDistinct("target").cast("long").alias("unique_target_count")
+    )
+    flagged = flag_outliers(
+        counts, [], "unique_target_count",
+        trigger_method, trigger_sensitivity, trigger_on,
+    )
+    return base.join(
+        flagged.select("aggregator", "unique_target_count", "decision_frontier",
+                       "is_outlier"),
+        "aggregator",
+        "inner",
+    )
+
+
+def terms_outliers(
+    df: DataFrame,
+    groups: list[str],
+    target: str,
+    target_count_method: str,
+    trigger_method: str,
+    trigger_sensitivity: float,
+    trigger_on: str,
+    min_target_buckets: int | None = None,
+    whitelist_literals: list[list[str]] | None = None,
+    whitelist_regexps: list[list[str]] | None = None,
+    max_fixpoint_iters: int = 20,
+) -> DataFrame:
+    """Full analyzer incl. whitelist-retract fixpoint → outlier rows only."""
+
+    def one_pass(d: DataFrame) -> DataFrame:
+        if target_count_method == "within_aggregator":
+            return terms_within(d, groups, target, trigger_method,
+                                trigger_sensitivity, trigger_on,
+                                min_target_buckets)
+        if target_count_method == "across_aggregators":
+            return terms_across(d, groups, target, trigger_method,
+                                trigger_sensitivity, trigger_on)
+        raise ValueError(f"unexpected target count method {target_count_method}")
+
+    work = df
+    if not (whitelist_literals or whitelist_regexps):
+        res = one_pass(work)
+        return res.where("is_outlier")
+
+    wl = None
+    for _ in range(max_fixpoint_iters):
+        res = one_pass(work).cache()
+        if wl is None:
+            wl = whitelist_predicate(
+                value_set_col(res, df.columns), whitelist_literals, whitelist_regexps
+            )
+        retract = res.where(F.col("is_outlier") & wl)
+        n_retract = retract.count()
+        if n_retract == 0:
+            return res.where("is_outlier")
+        # drop whitelisted flagged docs from the window and recompute
+        work = res.where(~(F.col("is_outlier") & wl)).select(*df.columns)
+    return one_pass(work).where("is_outlier")

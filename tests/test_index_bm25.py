@@ -1,0 +1,98 @@
+"""Rank-identity of the distributed BM25 executors vs the pure-Python oracle
+(SURVEY §7.1 steps 2/4/5): naive DataFrame path, compressed SPIMI segment +
+block-max WAND path, and phrase scoring. Ranks exact; scores to 1e-6."""
+
+import math
+
+import pytest
+
+from ee_outliers_spark.index.build import (
+    build_doc_lengths, build_postings, build_segments, corpus_stats,
+)
+from ee_outliers_spark.index.query import (
+    bm25_topk_df, bm25_topk_wand, phrase_topk_df,
+)
+from ee_outliers_spark.oracle import OracleIndex
+
+K = 20
+
+TERM_SETS = [
+    (["vector"], "or"),
+    (["the"], "or"),                      # head term
+    (["vector", "zebra"], "or"),          # rare + missing
+    (["customer", "window", "batch"], "or"),
+    (["customer", "window", "batch"], "and"),
+    (["the", "vector"], "and"),           # head + rare conjunction (WAND path)
+    (["nosuchterm"], "or"),
+    (["the", "nosuchterm"], "and"),       # conjunction w/ zero-df term → empty
+]
+
+
+@pytest.fixture(scope="module")
+def oracle(docs_dict):
+    return OracleIndex(docs_dict)
+
+
+@pytest.fixture(scope="module")
+def naive(spark, documents):
+    postings = build_postings(documents, "doc_id", "text").cache()
+    doclen = build_doc_lengths(documents, "doc_id", "text").cache()
+    n, avgdl = corpus_stats(doclen)
+    return postings, doclen, n, avgdl
+
+
+@pytest.fixture(scope="module")
+def seg_paths(spark, documents, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index"))
+    return build_segments(spark, documents, "doc_id", "text", out, num_segments=8)
+
+
+def _check(got_rows, expected):
+    got = [(int(r["doc_id"]), float(r["score"])) for r in got_rows]
+    assert [g[0] for g in got] == [e[0] for e in expected], "rank mismatch"
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert math.isclose(gs, es, rel_tol=1e-6, abs_tol=1e-9), (gd, gs, es)
+
+
+@pytest.mark.parametrize("terms,mode", TERM_SETS)
+def test_df_path_rank_identity(terms, mode, naive, oracle):
+    postings, doclen, n, avgdl = naive
+    got = bm25_topk_df(postings, doclen, n, avgdl, terms, K, mode).collect()
+    _check(got, oracle.topk(terms, K, mode))
+
+
+@pytest.mark.parametrize("terms,mode", TERM_SETS)
+def test_wand_path_rank_identity(terms, mode, spark, seg_paths, oracle):
+    got = bm25_topk_wand(spark, seg_paths, terms, K, mode).collect()
+    _check(got, oracle.topk(terms, K, mode))
+
+
+@pytest.mark.parametrize("phrase", ["key order", "batch batch", "no such phrase here"])
+def test_phrase_rank_identity(phrase, spark, documents, naive, oracle):
+    _, doclen, n, avgdl = naive
+    got = phrase_topk_df(documents, "doc_id", "text", doclen, n, avgdl, phrase, K).collect()
+    from ee_outliers_spark.tokenizer import tokenize_py
+    _check(got, oracle.phrase_topk(tokenize_py(phrase), K))
+
+
+def test_wand_resume(spark, documents, tmp_path_factory, oracle):
+    """Kill-and-resume: a build with half the segments done completes and
+    answers identically (north_rule resumability)."""
+    import json, os
+    out = str(tmp_path_factory.mktemp("index_resume"))
+    p = build_segments(spark, documents, "doc_id", "text", out, num_segments=4)
+    # truncate manifest to 2 segments, delete their outputs' sibling dirs
+    with open(p.manifest) as fh:
+        recs = [json.loads(l) for l in fh]
+    keep = {r["seg_id"] for r in recs[:2]}
+    with open(p.manifest, "w") as fh:
+        for r in recs[:2]:
+            fh.write(json.dumps(r) + "\n")
+    import shutil
+    for d in os.listdir(p.segments):
+        if d.startswith("seg_id=") and int(d.split("=")[1]) not in keep:
+            shutil.rmtree(os.path.join(p.segments, d))
+            shutil.rmtree(os.path.join(p.doclen_seg, d), ignore_errors=True)
+    p2 = build_segments(spark, documents, "doc_id", "text", out, num_segments=4)
+    got = bm25_topk_wand(spark, p2, ["customer", "window"], K, "or").collect()
+    _check(got, oracle.topk(["customer", "window"], K, "or"))
