@@ -23,3 +23,34 @@ DataFrame programs:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+import zipfile as _zipfile
+
+
+def ensure_py_files(spark) -> None:
+    """Make this package importable inside executor Python workers regardless
+    of the driver's cwd — the local-mode equivalent of
+    ``spark-submit --py-files ee_outliers_spark.zip`` (north_rule deploy
+    model). Zips the package once per session and registers it via
+    ``sc.addPyFile`` (idempotent)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_ee_outliers_pyfiles", False):
+        return
+    pkg_dir = _os.path.dirname(_os.path.abspath(__file__))
+    zip_path = _os.path.join(
+        _os.environ.get("TMPDIR", "/tmp"), "ee_outliers_spark_pyfiles.zip"
+    )
+    if not _os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with _zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in _os.walk(pkg_dir):
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = _os.path.join(root, f)
+                    rel = _os.path.relpath(full, _os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+        _os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    sc._ee_outliers_pyfiles = True

@@ -1,0 +1,201 @@
+"""Use-case config layer (SURVEY S7; /root/reference/app/outliers.py:234-246,
+app/helpers/analyzerfactory.py:12-86, app/helpers/analyzer.py:66-116).
+
+Same INI shape as the reference's use_cases/*.conf: section name prefix picks
+the analyzer class (``simplequery_* | terms_* | metrics_* |
+sudden_appearance_* | word2vec_*``); keys mirror the reference
+(``es_query_filter, aggregator, target, target_count_method, trigger_on,
+trigger_method, trigger_sensitivity, outlier_type/reason/summary,
+run_model``). Aggregators are comma-separated column lists.
+
+``run_analyzer`` executes one spec against an events DataFrame and returns
+the outlier rows with rendered reason/summary columns; ``run_all`` executes
+every enabled spec and MERGEs results into an OutlierStore — one tick of the
+reference daemon (§3.1's perform_analysis, distributed).
+"""
+
+from __future__ import annotations
+
+import configparser
+import datetime as dt
+import glob as _glob
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions.render import render_template, wrap_summary
+from .operators.metrics_analyzer import metrics_outliers
+from .operators.simplequery import simplequery_outliers
+from .operators.sudden import sudden_appearance
+from .operators.terms import terms_outliers
+from .queryparser import parse_query_string, to_spark_predicate
+
+ANALYZER_PREFIXES = ("simplequery", "terms", "metrics", "sudden_appearance",
+                     "word2vec")
+
+
+@dataclass
+class AnalyzerSpec:
+    name: str
+    model_type: str
+    es_query_filter: str | None = None
+    aggregator: list[str] = field(default_factory=list)
+    target: str | None = None
+    target_count_method: str | None = None
+    metric: str | None = None
+    trigger_on: str | None = None
+    trigger_method: str | None = None
+    trigger_sensitivity: float | None = None
+    min_target_buckets: int | None = None
+    outlier_type: str | None = None
+    outlier_reason: str | None = None
+    outlier_summary: str | None = None
+    run_model: bool = True
+    # sudden_appearance extras (DDD:HH:MM in the reference; we take timedeltas)
+    history_start: dt.datetime | None = None
+    history_end: dt.datetime | None = None
+    sliding_window_size: dt.timedelta | None = None
+    sliding_window_step_size: dt.timedelta | None = None
+
+
+def parse_duration(s: str) -> dt.timedelta:
+    """'DDD:HH:MM' (ref sudden_appearance.py:36-50)."""
+    d, h, m = (int(x) for x in s.split(":"))
+    return dt.timedelta(days=d, hours=h, minutes=m)
+
+
+def load_use_cases(pattern_or_paths) -> list[AnalyzerSpec]:
+    """Glob-expanded INI files, multi-section (ref analyzerfactory.py:56-86)."""
+    if isinstance(pattern_or_paths, str):
+        paths = sorted(_glob.glob(pattern_or_paths))
+    else:
+        paths = list(pattern_or_paths)
+    specs: list[AnalyzerSpec] = []
+    for path in paths:
+        cp = configparser.ConfigParser(interpolation=None)
+        cp.read(path)
+        for section in cp.sections():
+            prefix = next(
+                (p for p in ANALYZER_PREFIXES if section.startswith(p + "_")), None
+            )
+            if prefix is None:
+                continue
+            sec = cp[section]
+            spec = AnalyzerSpec(
+                name=section,
+                model_type=prefix,
+                es_query_filter=sec.get("es_query_filter"),
+                aggregator=[a.strip() for a in sec.get("aggregator", "").split(",")
+                            if a.strip()],
+                target=sec.get("target") or None,
+                target_count_method=sec.get("target_count_method") or None,
+                metric=sec.get("metric") or None,
+                trigger_on=sec.get("trigger_on") or None,
+                trigger_method=sec.get("trigger_method") or None,
+                trigger_sensitivity=sec.getfloat("trigger_sensitivity", fallback=None),
+                min_target_buckets=sec.getint("min_target_buckets", fallback=None),
+                outlier_type=sec.get("outlier_type"),
+                outlier_reason=sec.get("outlier_reason"),
+                outlier_summary=sec.get("outlier_summary"),
+                run_model=sec.getboolean("run_model", fallback=True),
+            )
+            if prefix == "sudden_appearance":
+                if sec.get("sliding_window_size"):
+                    spec.sliding_window_size = parse_duration(sec["sliding_window_size"])
+                if sec.get("sliding_window_step_size"):
+                    spec.sliding_window_step_size = parse_duration(
+                        sec["sliding_window_step_size"])
+            specs.append(spec)
+    return specs
+
+
+def run_analyzer(
+    df: DataFrame,
+    spec: AnalyzerSpec,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    history: tuple[dt.datetime, dt.datetime] | None = None,
+) -> DataFrame:
+    """Execute one spec → outlier rows + (outlier_type/reason/summary)."""
+    work = df
+    if spec.es_query_filter and spec.model_type != "simplequery":
+        node = parse_query_string(spec.es_query_filter)
+        work = work.where(to_spark_predicate(node, text_col, df.columns))
+    if ts_col and history:
+        work = work.where(F.col(ts_col).between(*history))
+
+    if spec.model_type == "simplequery":
+        out = simplequery_outliers(work, spec.es_query_filter or "*",
+                                   text_col=text_col)
+    elif spec.model_type == "terms":
+        out = terms_outliers(
+            work, spec.aggregator, spec.target, spec.target_count_method,
+            spec.trigger_method, spec.trigger_sensitivity, spec.trigger_on,
+            min_target_buckets=spec.min_target_buckets,
+        )
+    elif spec.model_type == "metrics":
+        out = metrics_outliers(
+            work, spec.aggregator, spec.target, spec.metric,
+            spec.trigger_method, spec.trigger_sensitivity, spec.trigger_on,
+        )
+    elif spec.model_type == "sudden_appearance":
+        start, end = history if history else (spec.history_start, spec.history_end)
+        out = sudden_appearance(
+            work, spec.aggregator, spec.target, ts_col, start, end,
+            spec.sliding_window_size, spec.sliding_window_step_size,
+        )
+    else:
+        raise ValueError(f"unsupported model type {spec.model_type}")
+
+    for col_name, tpl in (("outlier_type", spec.outlier_type),
+                          ("outlier_reason", spec.outlier_reason)):
+        out = out.withColumn(
+            col_name, render_template(tpl, out) if tpl else F.lit(None).cast("string")
+        )
+    if spec.outlier_summary:
+        out = out.withColumn(
+            "outlier_summary", wrap_summary(render_template(spec.outlier_summary, out))
+        )
+    else:
+        out = out.withColumn("outlier_summary", F.lit(None).cast("string"))
+    return out.withColumn("model_name", F.lit(spec.name)).withColumn(
+        "model_type", F.lit(spec.model_type)
+    )
+
+
+def run_all(
+    df: DataFrame,
+    specs: list[AnalyzerSpec],
+    store=None,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str | None = None,
+    history: tuple[dt.datetime, dt.datetime] | None = None,
+    detected_ts: dt.datetime | None = None,
+) -> dict[str, int]:
+    """One daemon tick: run every enabled spec; MERGE into the OutlierStore.
+    Returns {model_name: n_new_outliers}."""
+    results = {}
+    for spec in specs:
+        if not spec.run_model:
+            continue
+        out = run_analyzer(df, spec, text_col=text_col, ts_col=ts_col,
+                           history=history)
+        if store is not None:
+            staged = out.select(
+                F.col(key_col).cast("string").alias("doc_key"),
+                "model_name", "model_type",
+                F.col("outlier_reason").alias("reason"),
+                F.col("outlier_summary").alias("summary"),
+                F.to_json(F.struct(
+                    *[c for c in ("aggregator", "target", "term_count",
+                                  "decision_frontier", "metric_value")
+                      if c in out.columns]
+                )).alias("observations"),
+                F.lit(detected_ts or dt.datetime(2024, 1, 1)).alias("detected_ts"),
+            )
+            results[spec.name] = store.upsert(staged)
+        else:
+            results[spec.name] = out.count()
+    return results

@@ -37,6 +37,9 @@ def register(name: str, sql: str | None = None):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    from . import ensure_py_files
+
+    ensure_py_files(spark)  # executors import this package via --py-files zip
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -241,6 +244,486 @@ def doclen_stats(spark, sf_dir):
         F.sum("dl").cast("long").alias("total_tokens"),
         F.max("dl").cast("long").alias("max_dl"),
         F.min("dl").cast("long").alias("min_dl"),
+    )
+
+
+# --------------------------------------------------------------------------
+# analyzer layer (SURVEY §2.4/§2.5: terms, metrics, sudden_appearance)
+# --------------------------------------------------------------------------
+
+_MAD_FRONTIER_SQL = """
+med AS (SELECT {g}, quantile_cont({v}, 0.5) AS _med FROM vals GROUP BY {g}),
+st AS (
+  SELECT v.{g},
+         quantile_cont(abs(v.{v} - m._med), 0.5) AS _mad,
+         any_value(m._med) AS _med,
+         avg(v.{v}) AS _avg,
+         stddev_pop(v.{v}) AS _std
+  FROM vals v JOIN med m USING ({g}) GROUP BY v.{g}
+),
+fr AS (
+  SELECT {g},
+         CASE WHEN _med + {s} * _mad = _med
+              THEN _avg + {sgn} * 1.0 * _std
+              ELSE _med + {sgn} * {s} * _mad END AS frontier
+  FROM st
+)"""
+
+
+def _mad_frontier_cte(group: str, value: str, sensitivity: float, on: str) -> str:
+    sgn = "1" if on == "high" else "-1"
+    return _MAD_FRONTIER_SQL.format(g=group, v=value, s=sensitivity, sgn=sgn)
+
+
+@register(
+    "terms_within_mad",
+    f"""
+WITH base AS (
+  SELECT event_id, CAST(user_id AS VARCHAR) AS aggregator, event_type AS target
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+vals AS (
+  SELECT aggregator, target, CAST(count(*) AS BIGINT) AS term_count
+  FROM base GROUP BY aggregator, target
+),
+{_mad_frontier_cte('aggregator', 'term_count', 1.0, 'high')}
+SELECT b.event_id
+FROM base b
+JOIN vals USING (aggregator, target)
+JOIN fr USING (aggregator)
+WHERE term_count > frontier
+ORDER BY b.event_id
+""",
+)
+def terms_within_mad(spark, sf_dir):
+    from .operators.terms import terms_outliers
+
+    ev = load(spark, sf_dir, "events")
+    out = terms_outliers(
+        ev, ["user_id"], "event_type", "within_aggregator", "mad", 1.0, "high"
+    )
+    return out.select("event_id").orderBy("event_id")
+
+
+@register(
+    "terms_across_stdev",
+    """
+WITH base AS (
+  SELECT doc_id, CAST(lang AS VARCHAR) AS aggregator, source AS target
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+),
+counts AS (
+  SELECT aggregator, CAST(count(DISTINCT target) AS BIGINT) AS unique_target_count
+  FROM base GROUP BY aggregator
+),
+fr AS (
+  SELECT avg(unique_target_count) - 1.0 * stddev_pop(unique_target_count) AS frontier
+  FROM counts
+)
+SELECT b.doc_id
+FROM base b JOIN counts USING (aggregator) CROSS JOIN fr
+WHERE unique_target_count < frontier
+ORDER BY b.doc_id
+""",
+)
+def terms_across_stdev(spark, sf_dir):
+    from .operators.terms import terms_outliers
+
+    docs = load(spark, sf_dir, "documents")
+    out = terms_outliers(
+        docs, ["lang"], "source", "across_aggregators", "stdev", 1.0, "low"
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "metrics_length_mad",
+    f"""
+WITH vals AS (
+  SELECT doc_id, CAST(source AS VARCHAR) AS aggregator,
+         CAST(length(CAST(text AS VARCHAR)) AS DOUBLE) AS metric_value
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+),
+{_mad_frontier_cte('aggregator', 'metric_value', 2.0, 'high')}
+SELECT v.doc_id
+FROM vals v JOIN fr USING (aggregator)
+WHERE metric_value > frontier
+ORDER BY v.doc_id
+""",
+)
+def metrics_length_mad(spark, sf_dir):
+    from .operators.metrics_analyzer import metrics_outliers
+
+    docs = load(spark, sf_dir, "documents")
+    out = metrics_outliers(docs, ["source"], "text", "length", "mad", 2.0, "high")
+    return out.select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "metrics_numerical_pctavg",
+    """
+WITH vals AS (
+  SELECT event_id, CAST(event_type AS VARCHAR) AS aggregator,
+         TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS metric_value
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+fr AS (
+  SELECT aggregator, avg(metric_value) * 1.5 AS frontier
+  FROM vals GROUP BY aggregator
+)
+SELECT v.event_id
+FROM vals v JOIN fr USING (aggregator)
+WHERE metric_value > frontier
+ORDER BY v.event_id
+""",
+)
+def metrics_numerical_pctavg(spark, sf_dir):
+    from .operators.metrics_analyzer import metrics_outliers
+
+    ev = load(spark, sf_dir, "events")
+    out = metrics_outliers(
+        ev, ["event_type"], "value", "numerical_value",
+        "pct_of_avg_value", 150.0, "high",
+    )
+    return out.select("event_id").orderBy("event_id")
+
+
+# --- sudden appearance (W1/A4): windows computed driver-side, inlined -------
+
+import datetime as _dt  # noqa: E402
+
+_SA_START = _dt.datetime(2024, 1, 1)
+_SA_END = _dt.datetime(2024, 1, 15)
+_SA_SIZE = _dt.timedelta(days=2)
+_SA_STEP = _dt.timedelta(hours=12)
+
+
+def _sa_sql() -> str:
+    from .operators.sudden import window_schedule
+
+    wins = window_schedule(_SA_START, _SA_END, _SA_SIZE, _SA_STEP)
+    vals = ", ".join(
+        f"({i}, TIMESTAMP '{s}', TIMESTAMP '{e}')" for i, s, e in wins
+    )
+    step_s = int(_SA_STEP.total_seconds())
+    return f"""
+WITH wins(w_id, w_start, w_end) AS (VALUES {vals}),
+base AS (
+  SELECT event_id, ts, CAST(user_id AS VARCHAR) AS aggregator,
+         CAST(event_type AS VARCHAR) AS target
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+),
+firsts AS (
+  SELECT w.w_id, w.w_end, b.aggregator, b.target,
+         min_by(b.event_id, b.ts) AS event_id, min(b.ts) AS first_ts
+  FROM base b JOIN wins w ON b.ts >= w.w_start AND b.ts <= w.w_end
+  GROUP BY w.w_id, w.w_end, b.aggregator, b.target
+)
+SELECT DISTINCT event_id FROM firsts
+WHERE first_ts > w_end - INTERVAL {step_s} SECONDS
+ORDER BY event_id
+"""
+
+
+@register("sudden_appearance", _sa_sql())
+def sudden_appearance_q(spark, sf_dir):
+    from .operators.sudden import sudden_appearance_docs
+
+    ev = load(spark, sf_dir, "events")
+    out = sudden_appearance_docs(
+        ev, ["user_id"], "event_type", "ts",
+        _SA_START, _SA_END, _SA_SIZE, _SA_STEP, key_col="event_id",
+    )
+    return out.orderBy("event_id")
+
+
+# --- word2vec prob model (A12): P(ctx|center) per aggregator -----------------
+
+_W2V_WINDOW = 2
+_W2V_V = 50
+_W2V_MINOCC = 2
+
+
+def _w2v_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT s.lang AS aggregator, s.doc_id AS text_id, u.i AS pos, s.t[u.i] AS word
+  FROM (SELECT lang, doc_id, {tokens_sql('text')} AS t
+        FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL) s,
+       UNNEST(generate_series(1, len(s.t))) AS u(i)
+),
+voc AS (
+  SELECT aggregator, word,
+         CASE WHEN row_number() OVER (PARTITION BY aggregator
+                                      ORDER BY count(*) DESC, word ASC) <= {_W2V_V}
+                   AND count(*) >= {_W2V_MINOCC}
+              THEN word ELSE '<unk>' END AS voc_word
+  FROM toks GROUP BY aggregator, word
+),
+tv AS (
+  SELECT t.aggregator, t.text_id, t.pos, v.voc_word
+  FROM toks t JOIN voc v ON t.aggregator = v.aggregator AND t.word = v.word
+),
+pairs AS (
+  SELECT a.aggregator, a.voc_word AS center, b.voc_word AS ctx
+  FROM tv a JOIN tv b
+    ON a.aggregator = b.aggregator AND a.text_id = b.text_id
+   AND abs(a.pos - b.pos) <= {_W2V_WINDOW} AND a.pos <> b.pos
+)
+SELECT aggregator, center, ctx,
+       CAST(count(*) AS DOUBLE)
+       / sum(count(*)) OVER (PARTITION BY aggregator, center) AS p
+FROM pairs GROUP BY aggregator, center, ctx
+ORDER BY aggregator, center, ctx
+"""
+
+
+@register("word2vec_prob_model", _w2v_sql())
+def word2vec_prob_model_q(spark, sf_dir):
+    from .operators.word2vec import (
+        prob_model, skipgram_pairs, tokens_positions, vocabulary,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens_positions(docs, ["lang"], "doc_id", "text").withColumn(
+        "pos", F.col("pos") + 1  # 1-based like the SQL twin
+    )
+    voc = vocabulary(toks, _W2V_V, _W2V_MINOCC)
+    tv = toks.join(voc, ["aggregator", "word"]).select(
+        "aggregator", "text_id", "pos", "voc_word"
+    )
+    model = prob_model(skipgram_pairs(tv, _W2V_WINDOW))
+    return model.orderBy("aggregator", "center", "ctx")
+
+
+# --- highlight (F9/X18): matched query terms per doc --------------------------
+
+_HL_QS = 'vector AND "key order" OR stream'
+
+
+def _highlight_sql(qs: str) -> str:
+    node = parse_query_string(qs)
+    from .queryparser import collect_text_terms
+    from .tokenizer import phrase_regex
+
+    terms, phrases = collect_text_terms(node)
+    cases = []
+    for t in dict.fromkeys(terms):
+        rx = phrase_regex(tokenize_py(t))
+        cases.append(
+            f"CASE WHEN regexp_matches(lower(text), '{rx}') THEN '{t}' END"
+        )
+    for p in dict.fromkeys(phrases):
+        rx = phrase_regex(tokenize_py(p))
+        cases.append(
+            f"CASE WHEN regexp_matches(lower(text), '{rx}') THEN '{p}' END"
+        )
+    arr = ", ".join(cases)
+    pred = to_duckdb_sql(node, "text", DOC_COLS)
+    return f"""
+SELECT doc_id,
+       array_to_string(list_filter([{arr}], x -> x IS NOT NULL), ',') AS highlights
+FROM documents WHERE {pred} ORDER BY doc_id
+"""
+
+
+@register("highlight_matches", _highlight_sql(_HL_QS))
+def highlight_matches_q(spark, sf_dir):
+    from .operators.simplequery import highlight_terms
+
+    docs = load(spark, sf_dir, "documents")
+    node = parse_query_string(_HL_QS)
+    return (
+        docs.where(to_spark_predicate(node, "text", DOC_COLS))
+        .select(
+            "doc_id",
+            F.concat_ws(",", highlight_terms(_HL_QS, "text")).alias("highlights"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data-pipeline operators: dedup / similarity / text analysis
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+SELECT md5(coalesce(text, '')) AS digest,
+       CAST(min(doc_id) AS BIGINT) AS rep_id,
+       CAST(count(*) AS BIGINT) AS n_dupes
+FROM documents GROUP BY digest
+""",
+)
+def dedup_exact_q(spark, sf_dir):
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH sh AS (
+  SELECT doc_id AS _id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in generate_series(1, len(t) - 2)]) AS grams
+  FROM (SELECT doc_id, {tokens_sql('text')} AS t FROM documents)
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT _id, len(grams) AS n FROM sh),
+inv AS (SELECT _id, unnest(grams) AS g FROM sh),
+shared AS (
+  SELECT a._id AS id1, b._id AS id2, CAST(count(*) AS BIGINT) AS shared
+  FROM inv a JOIN inv b ON a.g = b.g AND a._id < b._id
+  GROUP BY a._id, b._id
+)
+SELECT id1, id2
+FROM shared
+JOIN sizes s1 ON s1._id = id1
+JOIN sizes s2 ON s2._id = id2
+WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) >= 0.5
+ORDER BY id1, id2
+""",
+)
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        k=3, threshold=0.5, max_shingle_df=None,
+    )
+    return out.select("id1", "id2").orderBy("id1", "id2")
+
+
+@register("dedup_minhash_lsh")  # no SQL twin (hash-specific); rows-only gate
+def dedup_minhash_lsh_q(spark, sf_dir):
+    from .operators.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        k=3, num_perm=64, bands=16, threshold=0.5,
+    )
+    return out.select("id1", "id2").orderBy("id1", "id2")
+
+
+@register("dedup_simhash")  # no SQL twin; checked vs python oracle in tests/
+def dedup_simhash_q(spark, sf_dir):
+    from .operators.dedup import simhash_neardup_pairs
+
+    out = simhash_neardup_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+    return out.select("id1", "id2").orderBy("id1", "id2")
+
+
+@register(
+    "embedding_neardup",
+    """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, vd,
+         sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm
+  FROM v
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE a.nrm > 0 AND b.nrm > 0
+  AND list_sum(list_zip(a.vd, b.vd).apply(p -> p[1] * p[2])) / (a.nrm * b.nrm) >= 0.95
+ORDER BY id1, id2
+""",
+)
+def embedding_neardup_q(spark, sf_dir):
+    from .operators.dedup import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", 0.95
+    )
+    return out.select("id1", "id2").orderBy("id1", "id2")
+
+
+# deterministic query vector for ANN checks (dim 64)
+ANN_QUERY = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+
+def _ann_sql(k: int) -> str:
+    qlit = "[" + ", ".join(str(x) for x in ANN_QUERY) + "]"
+    return f"""
+WITH q AS (SELECT {qlit}::DOUBLE[] AS qv),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id,
+         list_sum(list_zip(vd, qv).apply(p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(vd, x -> x * x)))
+            * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+  FROM v CROSS JOIN q
+)
+SELECT vec_id,
+       CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+FROM s ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""
+
+
+@register("ann_cosine_topk", _ann_sql(10))
+def ann_cosine_topk_q(spark, sf_dir):
+    from .operators.similarity import cosine_topk
+
+    top = cosine_topk(load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+                      ANN_QUERY, 10)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return top.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+@register("ann_lsh_topk")  # approximate path; recall checked vs brute in tests/
+def ann_lsh_topk_q(spark, sf_dir):
+    from .operators.similarity import lsh_topk
+
+    top = lsh_topk(load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+                   ANN_QUERY, 10)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return top.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def _text_profile_sql() -> str:
+    from .operators.textstats import (
+        fingerprint_sql, langid_sql, quality_score_sql, token_count_sql,
+    )
+
+    score_sel, lang_expr = langid_sql("text")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text, {score_sel} FROM documents
+)
+SELECT doc_id,
+       {token_count_sql('text')} AS n_tokens,
+       {lang_expr} AS lang_pred,
+       {quality_score_sql('text')} AS quality,
+       {fingerprint_sql('text')} AS fingerprint
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register("text_profile", _text_profile_sql())
+def text_profile_q(spark, sf_dir):
+    from .operators.textstats import text_profile
+
+    return text_profile(load(spark, sf_dir, "documents"), "doc_id", "text").orderBy(
+        "doc_id"
     )
 
 

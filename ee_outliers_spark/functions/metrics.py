@@ -157,7 +157,9 @@ def url_length(s: pd.Series) -> pd.Series:
 
 METRICS = {
     "length": lambda c: F.length(c).cast("double"),
-    "numerical_value": lambda c: c.cast("double"),  # null on parse failure
+    # try_cast: null on parse failure (ref metrics.py:372-377 float() w/
+    # exception swallow) — plain cast throws under Spark 4 ANSI mode
+    "numerical_value": lambda c: c.try_cast("double"),
     "entropy": shannon_entropy,
     "relative_english_entropy": relative_english_entropy,
     "hex_encoded_length": hex_encoded_length,

@@ -1,4 +1,5 @@
-"""Index build: SPIMI per-partition segments + a naive exploded-postings path.
+"""Index build: single-pass SPIMI per-partition segments + a naive
+exploded-postings path.
 
 Replaces the indexing work the reference delegates to Elasticsearch/Lucene
 (every query in /root/reference/app/helpers/es.py:664-710 walks an ES
@@ -13,18 +14,23 @@ Two representations:
 2. **SPIMI segments** (``build_segments``): docs are assigned to segments by
    ``doc_id % num_segments`` (deterministic → resumable), each segment built
    *inside one task* with zero token shuffle (the SPIMI trick: partition-local
-   inversion). Output rows: one per (seg_id, term) with delta-gap + varbyte
-   compressed docIDs, varbyte tfs, and block-max metadata (per 128-posting
-   block: last docID + max BM25 impact), ready for block-max WAND.
+   inversion). The kernel emits, per segment:
+   - one row per term: delta-gap + varbyte compressed docIDs, varbyte tfs,
+     and per-128-posting block metadata (last docID, max tf, min dl — the
+     avgdl-INDEPENDENT extremes from which ``block_upper_bound`` derives a
+     safe block-max WAND bound at query time, so incremental appends that
+     shift avgdl never invalidate old segments);
+   - one sidecar row (term = NULL) carrying the segment's compressed
+     doclen map (docIDs + lengths) and its (n_docs, sum_dl) for global stats.
+   ONE shuffle (doc→segment repartition), ONE pandas pass, ONE write.
 
 Scale design (10^12 docs):
-- token inversion never shuffles: ``mapInPandas`` per partition (SPIMI);
-  the only shuffles are the doc→segment repartition (column-pruned to
-  (doc_id, tokens-source column)) and the tiny term-stats aggregation.
+- token inversion never shuffles: the only data shuffle is the doc→segment
+  repartition, column-pruned to (doc_id, text);
 - head-term skew ("the", stopwords) cannot blow up a reducer because postings
   for a term are built per-segment — a term's global posting list is never
   materialized on one node; segments bound memory (the SPIMI memory budget =
-  corpus_size / num_segments).
+  corpus_size / num_segments);
 - resumability: segments land in ``segments.parquet/seg_id=K/`` directories;
   a manifest records lineage + postings/sec per segment; re-running skips
   completed seg_ids (north_rule: "resumable from checkpoint with
@@ -36,6 +42,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from collections import Counter
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -51,14 +58,22 @@ BLOCK = 128
 K1 = 1.2
 B = 0.75
 
+#: one table holds both row kinds: term rows (postings) and the per-segment
+#: doclen sidecar row (term IS NULL) — co-located by construction, so the
+#: query side needs no cogroup/join to find a segment's doc lengths.
 SEGMENT_SCHEMA = (
     "seg_id int, term string, df_local long, n_postings long, "
     "doc_blob binary, tf_blob binary, "
-    "block_last_doc array<long>, block_max_impact array<double>, "
-    "build_secs double"
+    "block_last_doc array<long>, block_max_tf array<long>, "
+    "block_min_dl array<long>, "
+    "n_docs long, sum_dl long, build_secs double"
 )
 
-DOCLEN_SEG_SCHEMA = "seg_id int, doc_ids binary, dls binary, n_docs long"
+_SEG_COLS = [
+    "seg_id", "term", "df_local", "n_postings", "doc_blob", "tf_blob",
+    "block_last_doc", "block_max_tf", "block_min_dl",
+    "n_docs", "sum_dl", "build_secs",
+]
 
 
 # --------------------------------------------------------------------------
@@ -95,83 +110,158 @@ def term_stats(postings: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# SPIMI segment build
+# BM25 impact math shared by build / merge / query
 # --------------------------------------------------------------------------
 
 def _impact(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
     """Per-posting BM25 impact (idf excluded — applied at query time):
-    tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)). Monotone in tf, exact float64."""
+    tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)). Monotone increasing in tf,
+    decreasing in dl, exact float64."""
     tf = tf.astype(np.float64)
     return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
 
 
-def _segment_rows(pdfs: Iterator[pd.DataFrame], avgdl: float) -> Iterator[pd.DataFrame]:
-    """SPIMI kernel: consume one partition's docs, emit one row per term."""
+def block_upper_bound(max_tf, min_dl, avgdl: float):
+    """Safe block score upper bound (idf excluded), computed at QUERY time
+    from avgdl-independent block metadata (max tf, min dl). Impact is
+    monotone ↑tf ↓dl, so impact(max_tf, min_dl) ≥ any posting in the block —
+    and stays valid when incremental appends shift the corpus avgdl (stored
+    impacts would go stale; stored (tf, dl) extremes cannot)."""
+    mt = np.asarray(max_tf, dtype=np.float64)
+    md = np.asarray(min_dl, dtype=np.float64)
+    return mt * (K1 + 1.0) / (mt + K1 * (1.0 - B + B * md / avgdl))
+
+
+# --------------------------------------------------------------------------
+# SPIMI kernel
+# --------------------------------------------------------------------------
+
+def segment_frame(seg_id: int, doc_ids_sorted: np.ndarray, dls_sorted: np.ndarray,
+                  tf: pd.DataFrame, elapsed: float) -> pd.DataFrame:
+    """Assemble one segment's output rows from docID-sorted doc lengths and a
+    (term, doc_id, tf) frame sorted by (term, doc_id). Shared by the build
+    kernel and the LSM merge."""
+    out_rows = []
+    dl_lookup = dls_sorted[np.searchsorted(doc_ids_sorted, tf["doc_id"].to_numpy())]
+    tf_np = tf["tf"].to_numpy()
+    doc_np = tf["doc_id"].to_numpy()
+    for term, grp_idx in tf.groupby("term", sort=True).indices.items():
+        docs = doc_np[grp_idx].astype(np.uint64)
+        tfs = tf_np[grp_idx].astype(np.uint64)
+        dls = dl_lookup[grp_idx]
+        doc_blob = varbyte_encode(np.diff(docs, prepend=np.uint64(0)))
+        tf_blob = varbyte_encode(tfs)
+        nblk = (len(docs) + BLOCK - 1) // BLOCK
+        blast = [int(docs[min((i + 1) * BLOCK, len(docs)) - 1]) for i in range(nblk)]
+        bmaxtf = [int(tfs[i * BLOCK:(i + 1) * BLOCK].max()) for i in range(nblk)]
+        bmindl = [int(dls[i * BLOCK:(i + 1) * BLOCK].min()) for i in range(nblk)]
+        out_rows.append(
+            (seg_id, term, len(docs), len(docs), doc_blob, tf_blob,
+             blast, bmaxtf, bmindl, None, None, elapsed)
+        )
+    # doclen sidecar row (term NULL)
+    out_rows.append((
+        seg_id, None, None, None,
+        varbyte_encode(np.diff(doc_ids_sorted.astype(np.uint64),
+                               prepend=np.uint64(0))),
+        varbyte_encode(dls_sorted.astype(np.uint64)),
+        None, None, None,
+        int(len(doc_ids_sorted)), int(dls_sorted.sum()), elapsed,
+    ))
+    return pd.DataFrame(out_rows, columns=_SEG_COLS)
+
+
+def _pairs_segment_frame(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Encoding kernel (applyInPandas, grouped by seg_id): input is the
+    COMPACT pair stream — (seg_id, term, doc_id, cnt) where term rows carry
+    tf and term-NULL rows carry the doc's length. Tokenization and counting
+    already happened JVM-side (whole-stage codegen explode + hash agg with
+    map-side combine), so the Python bridge moves index-sized data — never
+    the corpus text. On syscall-expensive hosts that is the difference
+    between corpus-bound and index-bound build time; at 10^12 docs it is the
+    difference between shipping ~PBs vs ~TBs into Python workers."""
     t0 = time.monotonic()
+    seg_id = int(key[0])
+    dl_rows = pdf[pdf["term"].isna()]
+    term_rows = pdf[pdf["term"].notna()]
+    order = np.argsort(dl_rows["doc_id"].to_numpy(), kind="stable")
+    docs_sorted = dl_rows["doc_id"].to_numpy(dtype=np.int64)[order]
+    dls_sorted = dl_rows["cnt"].to_numpy(dtype=np.int64)[order]
+    tf = (
+        term_rows[["term", "doc_id", "cnt"]]
+        .rename(columns={"cnt": "tf"})
+        .sort_values(["term", "doc_id"], kind="stable")
+    )
+    return segment_frame(seg_id, docs_sorted, dls_sorted, tf,
+                         time.monotonic() - t0)
+
+
+def _pair_stream(base: DataFrame, num_segments: int) -> DataFrame:
+    """(seg_id, term, doc_id, cnt): per-(term,doc) tf rows + term-NULL doclen
+    rows — all JVM-side (tokenize via codegen split/filter; one shuffle with
+    partial aggregation collapsing duplicate tokens map-side)."""
+    seg = (F.col("doc_id") % num_segments).cast("int").alias("seg_id")
+    toks = base.select(seg, F.col("doc_id"),
+                       F.explode(tokens_col("text")).alias("term"))
+    tf = toks.groupBy("seg_id", "term", "doc_id").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    dl = base.select(
+        seg, F.lit(None).cast("string").alias("term"), F.col("doc_id"),
+        F.size(tokens_col("text")).cast("long").alias("cnt"),
+    )
+    return tf.select("seg_id", "term", "doc_id", "cnt").unionByName(dl)
+
+
+def _segment_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Pure-Python SPIMI kernel (tokenizes in the worker): kept as the
+    differential implementation for kernel-level tests; the production build
+    path is _pair_stream + _pairs_segment_frame (JVM tokenization).
+    A partition may carry multiple seg_ids (hash partitioning gives no 1:1
+    guarantee), so the kernel groups by seg_id — correctness never depends
+    on the physical partitioning."""
     frames = [p for p in pdfs if len(p)]
     if not frames:
         return
     part = pd.concat(frames, ignore_index=True)
-    seg_id = int(part["seg_id"].iloc[0])
-    # tokenize (oracle-identical) and invert
-    doc_ids: list[int] = []
-    terms: list[str] = []
-    dl_map: dict[int, int] = {}
-    for d, txt in zip(part["doc_id"].to_numpy(), part["text"]):
-        toks = tokenize_py(txt)
-        dl_map[int(d)] = len(toks)
-        doc_ids.extend([int(d)] * len(toks))
-        terms.extend(toks)
-    if not terms:
-        return
-    tok = pd.DataFrame({"doc_id": np.asarray(doc_ids, dtype=np.int64), "term": terms})
-    tf = (
-        tok.groupby(["term", "doc_id"], sort=True)
-        .size()
-        .rename("tf")
-        .reset_index()
-    )  # sorted by (term, doc_id) → postings already docID-ascending per term
-    out_rows = []
-    dl_arr_all = np.array(
-        [dl_map[d] for d in tf["doc_id"].to_numpy()], dtype=np.int64
-    )
-    impacts_all = _impact(tf["tf"].to_numpy(), dl_arr_all, avgdl)
-    elapsed = time.monotonic() - t0
-    for term, grp_idx in tf.groupby("term", sort=True).indices.items():
-        docs = tf["doc_id"].to_numpy()[grp_idx].astype(np.uint64)
-        tfs = tf["tf"].to_numpy()[grp_idx].astype(np.uint64)
-        imps = impacts_all[grp_idx]
-        doc_blob = varbyte_encode(np.diff(docs, prepend=np.uint64(0)))
-        tf_blob = varbyte_encode(tfs)
-        # block-max metadata
-        nblk = (len(docs) + BLOCK - 1) // BLOCK
-        blast = [int(docs[min((i + 1) * BLOCK, len(docs)) - 1]) for i in range(nblk)]
-        bmax = [float(imps[i * BLOCK : (i + 1) * BLOCK].max()) for i in range(nblk)]
-        out_rows.append(
-            (seg_id, term, len(docs), len(docs), doc_blob, tf_blob, blast, bmax, elapsed)
-        )
-    yield pd.DataFrame(
-        out_rows,
-        columns=[
-            "seg_id", "term", "df_local", "n_postings", "doc_blob", "tf_blob",
-            "block_last_doc", "block_max_impact", "build_secs",
-        ],
-    )
-
-
-def _doclen_seg_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    frames = [p for p in pdfs if len(p)]
-    if not frames:
-        return
-    part = pd.concat(frames, ignore_index=True).sort_values("doc_id")
-    seg_id = int(part["seg_id"].iloc[0])
-    docs = part["doc_id"].to_numpy().astype(np.uint64)
-    dls = part["dl"].to_numpy().astype(np.uint64)
-    yield pd.DataFrame(
-        [(seg_id, varbyte_encode(np.diff(docs, prepend=np.uint64(0))),
-          varbyte_encode(dls), len(docs))],
-        columns=["seg_id", "doc_ids", "dls", "n_docs"],
-    )
+    for seg_id_val, seg_part in part.groupby("seg_id", sort=True):
+        t0 = time.monotonic()
+        seg_id = int(seg_id_val)
+        # sort docs once: positional index then equals docID rank, so the
+        # np.unique pass below yields (term asc, docID asc) postings directly
+        seg_part = seg_part.sort_values("doc_id")
+        docs_sorted = seg_part["doc_id"].to_numpy(dtype=np.int64)
+        # vectorized tokenize (same regex/lowering as tokenize_py — the
+        # per-url token identity the oracle tests pin): C-path pandas ops,
+        # no per-doc Python loop
+        tok_lists = seg_part["text"].fillna("").str.lower().str.findall("[a-z0-9]+")
+        dls_sorted = tok_lists.str.len().to_numpy(dtype=np.int64)
+        n_seg_docs = len(docs_sorted)
+        total = int(dls_sorted.sum())
+        if total == 0:
+            yield segment_frame(
+                seg_id, docs_sorted, dls_sorted,
+                pd.DataFrame({"term": [], "doc_id": [], "tf": []}),
+                time.monotonic() - t0,
+            )
+            continue
+        # count per doc with Counter (C fast path); Python touches only the
+        # DISTINCT (term, doc) pairs — ≪ total tokens on real text
+        terms_out: list[str] = []
+        pos_out: list[int] = []
+        tf_out: list[int] = []
+        for pos, lst in enumerate(tok_lists):
+            c = Counter(lst)
+            terms_out.extend(c.keys())
+            pos_out.extend([pos] * len(c))
+            tf_out.extend(c.values())
+        tf = pd.DataFrame({
+            "term": pd.Series(terms_out, dtype="object"),
+            "doc_id": docs_sorted[np.asarray(pos_out, dtype=np.int64)],
+            "tf": np.asarray(tf_out, dtype=np.int64),
+        }).sort_values(["term", "doc_id"], kind="stable")
+        yield segment_frame(seg_id, docs_sorted, dls_sorted, tf,
+                            time.monotonic() - t0)
 
 
 @dataclass
@@ -181,15 +271,60 @@ class IndexPaths:
     @property
     def segments(self) -> str: return os.path.join(self.root, "segments.parquet")
     @property
-    def doclen(self) -> str: return os.path.join(self.root, "doclen.parquet")
-    @property
-    def doclen_seg(self) -> str: return os.path.join(self.root, "doclen_seg.parquet")
-    @property
     def termstats(self) -> str: return os.path.join(self.root, "termstats.parquet")
     @property
     def stats(self) -> str: return os.path.join(self.root, "stats.json")
     @property
     def manifest(self) -> str: return os.path.join(self.root, "manifest.jsonl")
+
+
+def refresh_stats_and_termstats(spark: SparkSession, paths: IndexPaths,
+                                num_segments: int | None = None,
+                                segs: DataFrame | None = None) -> None:
+    """Recompute stats.json (from doclen sidecar rows) + termstats.parquet
+    (vocabulary-sized agg over term rows) from the segment table."""
+    if segs is None:
+        segs = spark.read.parquet(paths.segments)
+    srow = segs.where(F.col("term").isNull()).agg(
+        F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s")
+    ).collect()[0]
+    n_docs = int(srow["n"] or 0)
+    avgdl = (float(srow["s"]) / n_docs) if n_docs else 0.0
+    stats = {"n_docs": n_docs, "avgdl": avgdl, "k1": K1, "b": B, "block": BLOCK}
+    if num_segments is not None:
+        stats["num_segments"] = num_segments
+    with open(paths.stats, "w") as fh:
+        json.dump(stats, fh)
+    ts = segs.where(F.col("term").isNotNull()).groupBy("term").agg(
+        F.sum("df_local").cast("long").alias("df")
+    )
+    ts.write.mode("overwrite").parquet(paths.termstats)
+
+
+def write_manifest(spark: SparkSession, paths: IndexPaths, seg_ids: list[int],
+                   lineage: dict, wall: float,
+                   segs: DataFrame | None = None) -> None:
+    if segs is None:
+        segs = spark.read.parquet(paths.segments)
+    seg_stats = (
+        segs
+        .where(F.col("seg_id").isin(seg_ids) & F.col("term").isNotNull())
+        .groupBy("seg_id")
+        .agg(F.sum("n_postings").alias("postings"), F.count("*").alias("terms"),
+             F.max("build_secs").alias("build_secs"))
+        .collect()
+    )
+    with open(paths.manifest, "a") as fh:
+        for r in seg_stats:
+            fh.write(json.dumps({
+                "seg_id": int(r["seg_id"]),
+                "postings": int(r["postings"]),
+                "terms": int(r["terms"]),
+                "build_secs": float(r["build_secs"]),
+                "postings_per_sec": float(r["postings"]) / max(r["build_secs"], 1e-9),
+                "lineage": lineage,
+                "wall_secs_batch": wall,
+            }) + "\n")
 
 
 def build_segments(
@@ -201,27 +336,16 @@ def build_segments(
     num_segments: int = 32,
     resume: bool = True,
 ) -> IndexPaths:
-    """Full SPIMI index build with checkpointed, resumable segments.
+    """Single-pass SPIMI index build with checkpointed, resumable segments.
 
     Lineage + postings/sec per segment land in ``manifest.jsonl``
-    (north_rule: per-partition checkpoints, lineage, metrics).
-    """
+    (north_rule: per-partition checkpoints, lineage, metrics)."""
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     base = df.select(
         F.col(doc_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
     )
-    # pass 1: doc lengths + global stats (needed for impact precompute)
-    doclen = base.select(
-        "doc_id", F.size(tokens_col("text")).cast("long").alias("dl")
-    )
-    doclen.write.mode("overwrite").parquet(paths.doclen)
-    doclen = spark.read.parquet(paths.doclen)
-    n_docs, avgdl = corpus_stats(doclen)
-    with open(paths.stats, "w") as fh:
-        json.dump({"n_docs": n_docs, "avgdl": avgdl, "k1": K1, "b": B,
-                   "block": BLOCK, "num_segments": num_segments}, fh)
 
     done: set[int] = set()
     if resume and os.path.exists(paths.manifest):
@@ -230,57 +354,24 @@ def build_segments(
 
     todo = [s for s in range(num_segments) if s not in done]
     if todo:
-        seg = base.withColumn(
-            "seg_id", (F.col("doc_id") % num_segments).cast("int")
-        ).where(F.col("seg_id").isin(todo))
-        # one Spark partition per segment → each SPIMI kernel owns a segment
-        seg = seg.repartition(len(todo), "seg_id")
+        pairs = _pair_stream(base, num_segments).where(F.col("seg_id").isin(todo))
         t0 = time.monotonic()
-        seg_df = seg.mapInPandas(
-            lambda it: _segment_rows(it, avgdl), schema=SEGMENT_SCHEMA
+        seg_df = pairs.groupBy("seg_id").applyInPandas(
+            _pairs_segment_frame, schema=SEGMENT_SCHEMA
         )
         mode = "append" if done else "overwrite"
         seg_df.write.mode(mode).partitionBy("seg_id").parquet(paths.segments)
         wall = time.monotonic() - t0
-
-        dlseg = (
-            spark.read.parquet(paths.doclen)
-            .withColumn("seg_id", (F.col("doc_id") % num_segments).cast("int"))
-            .where(F.col("seg_id").isin(todo))
-            .repartition(len(todo), "seg_id")
-            .mapInPandas(_doclen_seg_rows, schema=DOCLEN_SEG_SCHEMA)
+        # one cached read-back feeds manifest + stats + termstats
+        segs = spark.read.parquet(paths.segments).cache()
+        write_manifest(
+            spark, paths, todo,
+            {"source": df.schema.simpleString(), "doc_col": doc_col,
+             "text_col": text_col, "num_segments": num_segments},
+            wall, segs=segs,
         )
-        dlseg.write.mode(mode).partitionBy("seg_id").parquet(paths.doclen_seg)
-
-        # manifest: lineage + throughput per segment
-        seg_stats = (
-            spark.read.parquet(paths.segments)
-            .where(F.col("seg_id").isin(todo))
-            .groupBy("seg_id")
-            .agg(
-                F.sum("n_postings").alias("postings"),
-                F.count("*").alias("terms"),
-                F.max("build_secs").alias("build_secs"),
-            )
-            .collect()
-        )
-        with open(paths.manifest, "a") as fh:
-            for r in seg_stats:
-                rec = {
-                    "seg_id": int(r["seg_id"]),
-                    "postings": int(r["postings"]),
-                    "terms": int(r["terms"]),
-                    "build_secs": float(r["build_secs"]),
-                    "postings_per_sec": float(r["postings"]) / max(r["build_secs"], 1e-9),
-                    "lineage": {"source": str(df.schema.simpleString()),
-                                "doc_col": doc_col, "text_col": text_col,
-                                "num_segments": num_segments},
-                    "wall_secs_batch": wall,
-                }
-                fh.write(json.dumps(rec) + "\n")
-
-    # global term stats from segment rows (vocabulary-sized aggregation)
-    segs = spark.read.parquet(paths.segments)
-    ts = segs.groupBy("term").agg(F.sum("df_local").cast("long").alias("df"))
-    ts.write.mode("overwrite").parquet(paths.termstats)
+        refresh_stats_and_termstats(spark, paths, num_segments, segs=segs)
+        segs.unpersist()
+    else:
+        refresh_stats_and_termstats(spark, paths, num_segments)
     return paths

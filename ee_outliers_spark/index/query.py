@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tokenizer import tokenize_py, tokens_col
-from .build import B, K1, IndexPaths
+from .build import B, K1, IndexPaths, block_upper_bound
 from .codec import varbyte_decode
 
 TOPK_SCHEMA = "doc_id long, score double"
@@ -172,7 +172,7 @@ class _TermCursor:
         self.idf = idf
         self.pos = 0
         self.block_last = block_last
-        self.block_max = block_max  # idf-scaled block upper bounds
+        self.block_max = block_max  # idf-scaled block upper bounds (query-time)
         self.max_score = float(block_max.max()) if len(block_max) else 0.0
 
     def cur_doc(self):
@@ -276,33 +276,38 @@ def bm25_topk_wand(
         # conjunction with a zero-df term matches nothing (oracle semantics)
         return spark.createDataFrame([], TOPK_SCHEMA)
 
-    segs = spark.read.parquet(paths.segments).where(F.col("term").isin(terms))
-    dlseg = spark.read.parquet(paths.doclen_seg)
+    # single scan: query-term rows + the doclen sidecar row, co-located per
+    # segment — the filter pushes to parquet (term IN (...) OR term IS NULL)
+    segs = spark.read.parquet(paths.segments).where(
+        F.col("term").isin(terms) | F.col("term").isNull()
+    )
 
-    def run(key, seg_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
-        if seg_pdf.empty or dl_pdf.empty:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
-        dl_docs = np.cumsum(varbyte_decode(bytes(dl_pdf["doc_ids"].iloc[0]))).astype(np.int64)
-        dl_vals = varbyte_decode(bytes(dl_pdf["dls"].iloc[0])).astype(np.int64)
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        dl_rows = pdf[pdf["term"].isna()]
+        term_rows = pdf[pdf["term"].notna()]
+        if dl_rows.empty or term_rows.empty:
+            return empty
+        dl_docs = np.cumsum(
+            varbyte_decode(bytes(dl_rows["doc_blob"].iloc[0]))).astype(np.int64)
+        dl_vals = varbyte_decode(bytes(dl_rows["tf_blob"].iloc[0])).astype(np.int64)
         cursors = []
-        for _, row in seg_pdf.iterrows():
+        for _, row in term_rows.iterrows():
             docs = np.cumsum(varbyte_decode(bytes(row["doc_blob"]))).astype(np.int64)
             tfs = varbyte_decode(bytes(row["tf_blob"])).astype(np.int64)
             dls = dl_vals[np.searchsorted(dl_docs, docs)]
             idf = idfs[row["term"]]
-            bmax = np.asarray(row["block_max_impact"], dtype=np.float64) * idf
+            # block upper bounds from avgdl-independent (max_tf, min_dl)
+            bmax = block_upper_bound(
+                row["block_max_tf"], row["block_min_dl"], avgdl
+            ) * idf
             blast = np.asarray(row["block_last_doc"], dtype=np.int64)
             cursors.append(_TermCursor(docs, tfs, dls, idf, blast, bmax))
         if mode == "and" and len(cursors) < len(idfs):
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
+            return empty
         res = _wand_segment(cursors, k, avgdl, mode)
         return pd.DataFrame(res, columns=["doc_id", "score"])
 
-    local = (
-        segs.groupBy("seg_id")
-        .cogroup(dlseg.groupBy("seg_id"))
-        .applyInPandas(run, schema=TOPK_SCHEMA)
-    )
+    local = segs.groupBy("seg_id").applyInPandas(run, schema=TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -74,7 +74,7 @@ def frontier_df(
     # mad / madpos: two-pass (median, then median absolute deviation)
     sgn = 1.0 if trigger_on == "high" else -1.0
     med = g.agg(_median(v).alias("_med"))
-    j = df.join(med, groups)
+    j = df.join(med, groups) if groups else df.crossJoin(F.broadcast(med))
     stats = j.groupBy(*groups).agg(
         _median(F.abs(v - F.col("_med"))).alias("_mad"),
         F.first("_med").alias("_med"),
@@ -113,7 +113,8 @@ def flag_outliers(
     coeff_of_variation flags every row of a group whose σ/µ crosses the
     sensitivity (the whole-group semantics of terms.py:383-396)."""
     fr = frontier_df(df, groups, value, method, sensitivity, trigger_on)
-    out = df.join(fr, groups, "left")
+    # empty groups = one global frontier (ref terms across_aggregators)
+    out = df.join(fr, groups, "left") if groups else df.crossJoin(F.broadcast(fr))
     if method == "coeff_of_variation":
         flag = outlier_test(F.col("decision_frontier"), F.lit(float(sensitivity)), trigger_on)
     else:

@@ -1,0 +1,115 @@
+"""Sudden-appearance analyzer (SURVEY W1/A4/T1;
+/root/reference/app/analyzers/sudden_appearance.py:59-147).
+
+Reference semantics, reproduced exactly:
+- window schedule over [end−history, end]: positions advance by ``step``
+  from ``start`` with window size ``size``; if size == history there is a
+  single scan; and when the advancing window passes ``end`` a FINAL clamped
+  scan of [end−step, end] runs (sudden_appearance.py:77-87 — note the final
+  window's size is the *step*, faithfully mirrored here);
+- per window position and (aggregator, target): the EARLIEST event in the
+  window (ES top_hits size=1 sort ts asc — es.py:713-778, ref A4/T1);
+- that earliest event is an outlier iff its ts > window_end − step
+  (sudden_appearance.py:118-120).
+
+Spark-first reformulation: the reference issues one aggregation query per
+window position (§3.3). Here ALL positions are evaluated in ONE distributed
+pass: the (tiny, driver-computed) window schedule is broadcast-joined to
+events on ts BETWEEN w_start AND w_end (each event lands in ≈size/step
+windows — bounded fan-out), then one groupBy (window, aggregator, target)
+with min_by picks the earliest event per group. No per-window job, no
+driver loop over data.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .terms import aggregator_col
+
+
+def window_schedule(
+    start: dt.datetime,
+    end: dt.datetime,
+    size: dt.timedelta,
+    step: dt.timedelta,
+) -> list[tuple[int, dt.datetime, dt.datetime]]:
+    """(w_id, w_start, w_end) positions — mirrors evaluate_model's loop."""
+    if step > size:
+        raise ValueError("sliding_window_step_size should not be bigger than "
+                         "sliding_window_size")
+    wins = []
+    s, e = start, start + size
+    if e == end:
+        return [(0, s, e)]
+    i = 0
+    while e < end:
+        wins.append((i, s, e))
+        i += 1
+        s += step
+        e += step
+        if e >= end:
+            wins.append((i, end - step, end))  # final clamped scan
+    return wins
+
+
+def sudden_appearance(
+    df: DataFrame,
+    groups: list[str],
+    target: str,
+    ts_col: str,
+    start: dt.datetime,
+    end: dt.datetime,
+    size: dt.timedelta,
+    step: dt.timedelta,
+) -> DataFrame:
+    """Outlier rows: earliest-in-window events landing in the window's final
+    step. Output: one row per (w_id, aggregator, target) outlier with the
+    earliest doc's columns + window metadata."""
+    spark = df.sparkSession
+    wins = window_schedule(start, end, size, step)
+    win_df = spark.createDataFrame(
+        [(i, s, e) for i, s, e in wins], "w_id int, w_start timestamp, w_end timestamp"
+    )
+    base = df.dropna(subset=[*groups, target, ts_col]).withColumn(
+        "aggregator", aggregator_col(groups)
+    ).withColumn("target", F.col(target).cast("string"))
+    # broadcast range join: every event × the window positions containing it
+    joined = base.join(
+        F.broadcast(win_df),
+        (F.col(ts_col) >= F.col("w_start")) & (F.col(ts_col) <= F.col("w_end")),
+    )
+    # earliest event per (window, aggregator, target) — ref A4/T1 top_hits(1, ts asc)
+    payload = F.struct(F.col(ts_col).alias("_ts"), *[F.col(c) for c in df.columns])
+    firsts = joined.groupBy("w_id", "w_start", "w_end", "aggregator", "target").agg(
+        F.min_by(payload, F.col(ts_col)).alias("doc"),
+        F.count("*").cast("long").alias("num_target_value_in_window"),
+    )
+    step_expr = F.expr(f"INTERVAL {int(step.total_seconds())} SECONDS")
+    out = firsts.where(F.col("doc._ts") > F.col("w_end") - step_expr)
+    return out.select(
+        "w_id", "w_start", "w_end", "aggregator", "target",
+        "num_target_value_in_window", "doc.*",
+    ).drop("_ts")
+
+
+def sudden_appearance_docs(
+    df: DataFrame,
+    groups: list[str],
+    target: str,
+    ts_col: str,
+    start: dt.datetime,
+    end: dt.datetime,
+    size: dt.timedelta,
+    step: dt.timedelta,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct flagged docs across all window positions (enrichment view)."""
+    return (
+        sudden_appearance(df, groups, target, ts_col, start, end, size, step)
+        .select(key_col)
+        .distinct()
+    )

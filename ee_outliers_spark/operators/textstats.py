@@ -1,0 +1,134 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All JVM-side column expressions (whole-stage codegen) so they hold up at
+10^12 rows as narrow maps — no UDFs, no shuffle. Each has an exact DuckDB
+SQL twin in entrypoints.py for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenizer import tokens_col, tokens_sql
+
+# small per-language stopword profiles (deterministic heuristic langid)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "on"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "du", "pas"],
+    "es": ["el", "la", "los", "las", "es", "una", "por", "con", "para", "del"],
+}
+
+
+def token_count_col(text_col: str) -> Column:
+    return F.size(tokens_col(text_col)).cast("long")
+
+
+def token_count_sql(expr: str) -> str:
+    return f"CAST(len({tokens_sql(expr)}) AS BIGINT)"
+
+
+def lang_scores_col(text_col: str) -> dict[str, Column]:
+    toks = tokens_col(text_col)
+    out = {}
+    for lang, words in LANG_PROFILES.items():
+        wl = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+    return out
+
+
+def langid_col(text_col: str) -> Column:
+    """Predicted language = profile with the most stopword hits; ties and
+    zero-hit texts → 'und' (undetermined). Deterministic tie-break: langs
+    compared in sorted key order, strict > to win."""
+    scores = lang_scores_col(text_col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):
+        s = scores[lang]
+        cond = s > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best_lang
+
+
+def langid_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    parts = []
+    for lang in sorted(LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        parts.append(
+            f"len(list_filter({toks}, t -> list_contains([{words}], t))) AS s_{lang}"
+        )
+    score_sel = ", ".join(parts)
+    # same fold as langid_col: sorted order, strict >
+    langs = sorted(LANG_PROFILES)
+    expr_lang, expr_score = "'und'", "0"
+    for lang in langs:
+        expr_lang = f"CASE WHEN s_{lang} > ({expr_score}) THEN '{lang}' ELSE ({expr_lang}) END"
+        expr_score = f"CASE WHEN s_{lang} > ({expr_score}) THEN s_{lang} ELSE ({expr_score}) END"
+    return score_sel, expr_lang
+
+
+def quality_score_col(text_col: str) -> Column:
+    """Deterministic quality score in [0,1]: mix of
+    - length factor: min(n_tokens/100, 1)
+    - alpha ratio: alphanumeric chars / total chars
+    - stopword presence: min(en-stopword hits / 5, 1)
+    - mean token length sanity: 1 if 3<=mean<=12 else 0.5
+    Weights 0.3/0.3/0.2/0.2. (Heuristic in the spirit of C4/Gopher rules.)"""
+    toks = tokens_col(text_col)
+    n = F.size(toks).cast("double")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    total_chars = F.length(text).cast("double")
+    alnum_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", "")).cast("double")
+    alpha_ratio = F.when(total_chars > 0, alnum_chars / total_chars).otherwise(F.lit(0.0))
+    len_factor = F.least(n / F.lit(100.0), F.lit(1.0))
+    wl = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(wl, t))).cast("double")
+    stop_factor = F.least(stop_hits / F.lit(5.0), F.lit(1.0))
+    mean_len = F.when(n > 0, (alnum_chars / n)).otherwise(F.lit(0.0))
+    len_sane = F.when((mean_len >= 3.0) & (mean_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (
+        0.3 * len_factor + 0.3 * alpha_ratio + 0.2 * stop_factor + 0.2 * len_sane
+    )
+
+
+def quality_score_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    return f"""(
+  0.3 * least(CAST(len({toks}) AS DOUBLE) / 100.0, 1.0)
++ 0.3 * (CASE WHEN length(coalesce({expr}, '')) > 0
+         THEN CAST(length(regexp_replace(lower(coalesce({expr}, '')), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+              / CAST(length(coalesce({expr}, '')) AS DOUBLE)
+         ELSE 0.0 END)
++ 0.2 * least(CAST(len(list_filter({toks}, t -> list_contains([{words}], t))) AS DOUBLE) / 5.0, 1.0)
++ 0.2 * (CASE WHEN len({toks}) > 0
+              AND CAST(length(regexp_replace(lower(coalesce({expr}, '')), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                  / CAST(len({toks}) AS DOUBLE) BETWEEN 3.0 AND 12.0
+         THEN 1.0 ELSE 0.5 END)
+)"""
+
+
+def fingerprint_col(text_col: str) -> Column:
+    """Normalized document fingerprint: md5 over the space-joined token
+    stream — whitespace/case/punctuation-insensitive content identity."""
+    return F.md5(F.concat_ws(" ", tokens_col(text_col)))
+
+
+def fingerprint_sql(expr: str) -> str:
+    return f"md5(array_to_string({tokens_sql(expr)}, ' '))"
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass profile: (id, n_tokens, lang_pred, quality, fingerprint)."""
+    return df.select(
+        F.col(id_col),
+        token_count_col(text_col).alias("n_tokens"),
+        langid_col(text_col).alias("lang_pred"),
+        quality_score_col(text_col).alias("quality"),
+        fingerprint_col(text_col).alias("fingerprint"),
+    )

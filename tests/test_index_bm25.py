@@ -92,7 +92,6 @@ def test_wand_resume(spark, documents, tmp_path_factory, oracle):
     for d in os.listdir(p.segments):
         if d.startswith("seg_id=") and int(d.split("=")[1]) not in keep:
             shutil.rmtree(os.path.join(p.segments, d))
-            shutil.rmtree(os.path.join(p.doclen_seg, d), ignore_errors=True)
     p2 = build_segments(spark, documents, "doc_id", "text", out, num_segments=4)
     got = bm25_topk_wand(spark, p2, ["customer", "window"], K, "or").collect()
     _check(got, oracle.topk(["customer", "window"], K, "or"))
