@@ -306,7 +306,7 @@ def terms_within_mad(spark, sf_dir):
 
 
 @register(
-    "terms_across_stdev",
+    "terms_across_float",
     """
 WITH base AS (
   SELECT doc_id, CAST(lang AS VARCHAR) AS aggregator, source AS target
@@ -316,22 +316,19 @@ counts AS (
   SELECT aggregator, CAST(count(DISTINCT target) AS BIGINT) AS unique_target_count
   FROM base GROUP BY aggregator
 ),
-fr AS (
-  SELECT avg(unique_target_count) - 1.0 * stddev_pop(unique_target_count) AS frontier
-  FROM counts
-)
+fr AS (SELECT 20.0 AS frontier)
 SELECT b.doc_id
 FROM base b JOIN counts USING (aggregator) CROSS JOIN fr
 WHERE unique_target_count < frontier
 ORDER BY b.doc_id
 """,
 )
-def terms_across_stdev(spark, sf_dir):
+def terms_across_float(spark, sf_dir):
     from .operators.terms import terms_outliers
 
     docs = load(spark, sf_dir, "documents")
     out = terms_outliers(
-        docs, ["lang"], "source", "across_aggregators", "stdev", 1.0, "low"
+        docs, ["lang"], "source", "across_aggregators", "float", 20.0, "low"
     )
     return out.select("doc_id").orderBy("doc_id")
 
@@ -634,7 +631,7 @@ n AS (
 SELECT a.vec_id AS id1, b.vec_id AS id2
 FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE a.nrm > 0 AND b.nrm > 0
-  AND list_sum(list_zip(a.vd, b.vd).apply(p -> p[1] * p[2])) / (a.nrm * b.nrm) >= 0.95
+  AND list_sum(list_zip(a.vd, b.vd).apply(p -> p[1] * p[2])) / (a.nrm * b.nrm) >= 0.35
 ORDER BY id1, id2
 """,
 )
@@ -642,7 +639,7 @@ def embedding_neardup_q(spark, sf_dir):
     from .operators.dedup import embedding_neardup_pairs
 
     out = embedding_neardup_pairs(
-        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", 0.95
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", 0.35
     )
     return out.select("id1", "id2").orderBy("id1", "id2")
 

@@ -127,21 +127,31 @@ def phrase_topk_df(
     inside whole-stage codegen, no Python UDF."""
     toks = tokenize_py(phrase)
     m = len(toks)
-    tarr = tokens_col(F.col(text_col))
+    # tokens materialize JVM-side (codegen split/filter); the positional
+    # phrase count is a vectorized Arrow UDF over the token arrays — array
+    # HOF lambdas evaluate interpreted per element in Spark and were ~20x
+    # slower here, and embedding the tokenizer expr in the lambda re-ran the
+    # split per element_at (O(tokens²)/row)
+    phrase_arr = np.asarray(toks, dtype=object)
 
-    def is_match(i):
-        cond = F.element_at(tarr, i + 1) == toks[0]
-        for j in range(1, m):
-            cond = cond & (F.element_at(tarr, i + j + 1) == toks[j])
-        return cond
+    @F.pandas_udf("long")
+    def _phrase_tf(tok_arrays: pd.Series) -> pd.Series:
+        def cnt(lst):
+            if lst is None or len(lst) < m:
+                return 0
+            a = np.asarray(lst, dtype=object)
+            mask = a[: len(a) - m + 1] == phrase_arr[0]
+            for j in range(1, m):
+                mask = mask & (a[j : len(a) - m + 1 + j] == phrase_arr[j])
+            return int(mask.sum())
+        return tok_arrays.map(cnt)
 
-    starts = F.sequence(F.lit(0), F.size(tarr) - m)  # valid when size >= m
-    tf_expr = F.when(
-        F.size(tarr) >= m, F.size(F.filter(starts, is_match))
-    ).otherwise(F.lit(0))
     hits = (
-        df.select(F.col(doc_col).alias("doc_id"), tf_expr.alias("tf"))
+        df.select(F.col(doc_col).alias("doc_id"),
+                  tokens_col(F.col(text_col)).alias("_toks"))
+        .select("doc_id", _phrase_tf("_toks").alias("tf"))
         .where(F.col("tf") > 0)
+        .cache()
     )
     dfp = hits.agg(F.count("*")).collect()[0][0]
     if dfp == 0:
