@@ -16,9 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .index.build import build_doc_lengths, build_postings, corpus_stats
-from .index.query import bm25_topk_df, phrase_topk_df
-from .queryparser import parse_query_string, to_duckdb_sql, to_spark_predicate
+from .index.cache import corpus_index
+from .index.filter import indexed_filter
+from .index.query import bm25_topk_wand, doclen_df, phrase_topk_df
+from .queryparser import (
+    dsl_to_ast, parse_query_string, to_duckdb_sql, to_spark_predicate,
+)
 from .tokenizer import tokenize_py, tokens_sql
 
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -44,15 +47,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# BM25 top-k (SURVEY §2.6 T-BM25, §2.2 F2) — naive-postings DataFrame executor
+# BM25 top-k (SURVEY §2.6 T-BM25, §2.2 F2) — block-max WAND over the shared
+# per-corpus SPIMI index (built once per sf_dir, reused by every query)
 # --------------------------------------------------------------------------
 
 def _bm25_spark(spark, sf_dir, terms: list[str], k: int, mode: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    postings = build_postings(docs, "doc_id", "text")
-    doclen = build_doc_lengths(docs, "doc_id", "text")
-    n, avgdl = corpus_stats(doclen)
-    top = bm25_topk_df(postings, doclen, n, avgdl, terms, k, mode)
+    from . import ensure_py_files
+
+    ensure_py_files(spark)
+    paths = corpus_index(spark, sf_dir)
+    top = bm25_topk_wand(spark, paths, terms, k, mode)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -151,9 +155,14 @@ LIMIT {k}
 
 @register("bm25_phrase", _phrase_sql("key order", 20))
 def bm25_phrase(spark, sf_dir):
+    import json as _json
+
     docs = load(spark, sf_dir, "documents")
-    doclen = build_doc_lengths(docs, "doc_id", "text")
-    n, avgdl = corpus_stats(doclen)
+    paths = corpus_index(spark, sf_dir)
+    with open(paths.stats) as fh:
+        stats = _json.load(fh)
+    n, avgdl = stats["n_docs"], stats["avgdl"]
+    doclen = doclen_df(spark, paths)
     top = phrase_topk_df(docs, "doc_id", "text", doclen, n, avgdl, "key order", 20)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.select(
@@ -178,9 +187,10 @@ def _qs_sql(qs: str) -> str:
 @register("querystring_filter", _qs_sql(_QS))
 def querystring_filter(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
+    paths = corpus_index(spark, sf_dir)
     node = parse_query_string(_QS)
     return (
-        docs.where(to_spark_predicate(node, "text", DOC_COLS))
+        indexed_filter(spark, paths, docs, "doc_id", "text", node, DOC_COLS)
         .select("doc_id")
         .orderBy("doc_id")
     )
@@ -195,9 +205,60 @@ def querystring_filter(spark, sf_dir):
 )
 def count_matches(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
+    paths = corpus_index(spark, sf_dir)
     node = parse_query_string("window AND lang:en")
-    return docs.where(to_spark_predicate(node, "text", DOC_COLS)).agg(
-        F.count("*").cast("long").alias("n_matches")
+    return indexed_filter(
+        spark, paths, docs, "doc_id", "text", node, DOC_COLS
+    ).agg(F.count("*").cast("long").alias("n_matches"))
+
+
+# --- range queries (ref F3: Lucene [a TO b] + ES range DSL, es.py:252-270) ---
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+_RANGE_QS = ("value:[10 TO 250.5] AND ts:[2024-01-02 TO 2024-01-20} "
+             "AND NOT event_type:purchase AND user_id:>=50")
+
+
+@register(
+    "range_filter",
+    f"SELECT event_id FROM events WHERE "
+    f"{to_duckdb_sql(parse_query_string(_RANGE_QS), 'props', EVENT_COLS)} "
+    f"ORDER BY event_id",
+)
+def range_filter(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    node = parse_query_string(_RANGE_QS)
+    return (
+        ev.where(to_spark_predicate(node, "props", EVENT_COLS))
+        .select("event_id")
+        .orderBy("event_id")
+    )
+
+
+_DSL_FILTER = {"bool": {
+    "filter": [
+        {"range": {"value": {"gte": 5, "lt": 400}}},
+        {"terms": {"event_type": ["click", "view", "error"]}},
+        {"range": {"ts": {"gte": "2024-01-03", "lte": "2024-01-25"}}},
+    ],
+    "must_not": [{"range": {"user_id": {"lt": 40}}}],
+}}
+
+
+@register(
+    "dsl_filter",
+    f"SELECT event_id FROM events WHERE "
+    f"{to_duckdb_sql(dsl_to_ast(_DSL_FILTER), 'props', EVENT_COLS)} "
+    f"ORDER BY event_id",
+)
+def dsl_filter(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    node = dsl_to_ast(_DSL_FILTER)
+    return (
+        ev.where(to_spark_predicate(node, "props", EVENT_COLS))
+        .select("event_id")
+        .orderBy("event_id")
     )
 
 
@@ -215,11 +276,12 @@ SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 20
 """,
 )
 def term_df_top20(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    postings = build_postings(docs, "doc_id", "text")
+    # term dictionary query = one scan of the vocabulary-sized termstats
+    # sidecar — the corpus itself is never touched
+    paths = corpus_index(spark, sf_dir)
     return (
-        postings.groupBy("term")
-        .agg(F.count("*").cast("long").alias("df"))
+        spark.read.parquet(paths.termstats)
+        .select("term", F.col("df").cast("long").alias("df"))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(20)
     )
@@ -237,8 +299,10 @@ FROM dl
 """,
 )
 def doclen_stats(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    dl = build_doc_lengths(docs, "doc_id", "text")
+    from . import ensure_py_files
+
+    ensure_py_files(spark)
+    dl = doclen_df(spark, corpus_index(spark, sf_dir))
     return dl.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_tokens"),

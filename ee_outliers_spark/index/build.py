@@ -360,18 +360,25 @@ def build_segments(
             _pairs_segment_frame, schema=SEGMENT_SCHEMA
         )
         mode = "append" if done else "overwrite"
+        # persist the segment frame so manifest + stats + termstats reuse the
+        # already-computed blobs in memory instead of re-listing and
+        # re-reading the (num_segments-dir) parquet table — the read-back was
+        # a measurable non-scaling tail on the build critical path
+        seg_df = seg_df.persist()
         seg_df.write.mode(mode).partitionBy("seg_id").parquet(paths.segments)
         wall = time.monotonic() - t0
-        # one cached read-back feeds manifest + stats + termstats
-        segs = spark.read.parquet(paths.segments).cache()
         write_manifest(
             spark, paths, todo,
             {"source": df.schema.simpleString(), "doc_col": doc_col,
              "text_col": text_col, "num_segments": num_segments},
-            wall, segs=segs,
+            wall, segs=seg_df,
         )
-        refresh_stats_and_termstats(spark, paths, num_segments, segs=segs)
-        segs.unpersist()
+        if done:
+            # resume: stats must also cover previously-completed segments
+            refresh_stats_and_termstats(spark, paths, num_segments)
+        else:
+            refresh_stats_and_termstats(spark, paths, num_segments, segs=seg_df)
+        seg_df.unpersist()
     else:
         refresh_stats_and_termstats(spark, paths, num_segments)
     return paths

@@ -172,6 +172,23 @@ def phrase_topk_df(
 # block-max WAND path (compressed segments)
 # --------------------------------------------------------------------------
 
+def doclen_df(spark: SparkSession, paths: IndexPaths) -> DataFrame:
+    """(doc_id, dl) decoded from the per-segment doclen sidecar rows — the
+    corpus text is never re-tokenized once an index exists."""
+    segs = spark.read.parquet(paths.segments).where(
+        F.col("term").isNull()
+    ).select("doc_blob", "tf_blob")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for dblob, tblob in zip(pdf["doc_blob"], pdf["tf_blob"]):
+                docs = np.cumsum(varbyte_decode(bytes(dblob))).astype(np.int64)
+                dls = varbyte_decode(bytes(tblob)).astype(np.int64)
+                yield pd.DataFrame({"doc_id": docs, "dl": dls})
+
+    return segs.mapInPandas(decode, schema="doc_id long, dl long")
+
+
 class _TermCursor:
     __slots__ = ("docs", "tfs", "dls", "idf", "pos", "block_last", "block_max", "max_score")
 
@@ -228,6 +245,14 @@ def _wand_segment(
             pivot_doc = live[-1].cur_doc()  # conjunction: align on max
             pivot_i = len(live) - 1
         if all(live[i].cur_doc() == pivot_doc for i in range(pivot_i + 1)):
+            # extend the pivot over ties: cursors beyond pivot_i whose current
+            # doc IS pivot_doc contribute to the real score, so they must be
+            # inside the block-max upper bound too (PISA block_max_wand does
+            # the same) — otherwise ub underestimates and full docs get
+            # skipped once the heap is full
+            while (pivot_i + 1 < len(live)
+                   and live[pivot_i + 1].cur_doc() == pivot_doc):
+                pivot_i += 1
             # block-max check: refine the upper bound with block maxima
             ub = sum(c.block_ub() for c in live[: pivot_i + 1])
             full_eval = ub >= theta or len(heap) < k

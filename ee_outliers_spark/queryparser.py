@@ -8,8 +8,14 @@ documentation/CONFIG_OUTLIERS.md:40-43):
     field:value           → exact match on a column (`.keyword` semantics)
     field:"some phrase"   → exact match, quoted value
     _exists_:field        → field is not null
+    field:[a TO b]        → inclusive range; `{a TO b}` exclusive; `*` open
+    field:>x  field:<=x   → single-bounded range (also >=, <)
     AND / OR / NOT / -    → boolean composition; parentheses group
     adjacency             → default operator (OR, like ES query_string)
+
+``dsl_to_ast`` additionally accepts the raw ES-DSL dict subset the reference
+appends to every model's filter (ref F3, app/helpers/es.py:252-270):
+bool / term / terms / range / exists / query_string / match_all.
 
 The AST compiles three ways, all semantically identical:
 - ``to_spark_predicate`` — a Spark ``Column`` boolean (filter context, no
@@ -57,6 +63,17 @@ class Exists:
 
 
 @dataclass
+class FieldRange:
+    """Range predicate (ref F3; Lucene `field:[a TO b]`, ES `range` DSL).
+    ``lo``/``hi`` of None = unbounded (`*`); both None = exists-check."""
+    field: str
+    lo: str | None
+    hi: str | None
+    lo_inc: bool = True
+    hi_inc: bool = True
+
+
+@dataclass
 class And:
     parts: list
 
@@ -71,19 +88,32 @@ class Not:
     part: object
 
 
+@dataclass
+class MatchAll:
+    pass
+
+
 # --- lexer ---------------------------------------------------------------------
 
 _TOKEN_SPEC = re.compile(
     r"""\s*(?:
         (?P<lparen>\() |
         (?P<rparen>\)) |
+        (?P<lbrack>\[) |
+        (?P<rbrack>\]) |
+        (?P<lbrace>\{) |
+        (?P<rbrace>\}) |
+        (?P<cmp>>=|<=|>|<) |
         (?P<quoted>"(?P<qbody>[^"]*)") |
         (?P<neg>-) |
-        (?P<word>[^\s()":]+) |
+        (?P<word>[^\s()\[\]{}"<>:]+) |
         (?P<colon>:)
     )""",
     re.VERBOSE,
 )
+
+_LEX_KINDS = ("lparen", "rparen", "lbrack", "rbrack", "lbrace", "rbrace",
+              "cmp", "neg", "word", "colon")
 
 
 def _lex(s: str) -> list[tuple[str, str]]:
@@ -96,7 +126,7 @@ def _lex(s: str) -> list[tuple[str, str]]:
         i = m.end()
         if m.lastgroup is None:
             continue
-        for g in ("lparen", "rparen", "neg", "word", "colon"):
+        for g in _LEX_KINDS:
             if m.group(g):
                 out.append((g, m.group(g)))
                 break
@@ -135,9 +165,11 @@ class _Parser:
                 self.take()
                 parts.append(self.and_expr())
             elif kind in ("lparen", "quoted", "neg", "word") and not (
-                kind == "word" and val.upper() in ("AND", "OR", "NOT")
+                kind == "word" and val.upper() in ("AND", "OR")
             ):
-                # adjacency → default operator OR (ES query_string default)
+                # adjacency → default operator OR (ES query_string default);
+                # a leading NOT/'-' starts a new unary operand ('a NOT b'
+                # is valid ES and means a OR (NOT b))
                 parts.append(self.and_expr())
             else:
                 break
@@ -175,6 +207,17 @@ class _Parser:
             nk, _ = self.peek()
             if nk == "colon":
                 self.take()
+                vk, vv = self.peek()
+                if vk in ("lbrack", "lbrace"):
+                    return self._range(val)
+                if vk == "cmp":
+                    self.take()
+                    v = self._range_value(allow_star=False)
+                    lo_inc = vv == ">="
+                    hi_inc = vv == "<="
+                    if vv in (">", ">="):
+                        return FieldRange(val, v, None, lo_inc, True)
+                    return FieldRange(val, None, v, True, hi_inc)
                 vk, vv = self.take()
                 if vk == "quoted":
                     if val == "_exists_":
@@ -184,9 +227,46 @@ class _Parser:
                     if val == "_exists_":
                         return Exists(vv)
                     return FieldEq(val, vv)
+                if vk == "neg":
+                    # negative numeric value: glue '-' to the next word
+                    wk, wv = self.take()
+                    if wk != "word":
+                        raise ValueError(f"bad field value after {val}:-")
+                    return FieldEq(val, "-" + wv)
                 raise ValueError(f"bad field value after {val}:")
             return Term(val)
         raise ValueError(f"unexpected token {kind}:{val}")
+
+    def _range_value(self, allow_star: bool = True) -> str | None:
+        """One range bound: word, quoted, '-'-prefixed number, or '*'."""
+        vk, vv = self.take()
+        if vk == "neg":
+            wk, wv = self.take()
+            if wk != "word":
+                raise ValueError("bad range bound after '-'")
+            return "-" + wv
+        if vk == "quoted":
+            return vv
+        if vk == "word":
+            if vv == "*" and allow_star:
+                return None
+            return vv
+        raise ValueError(f"bad range bound {vk}:{vv}")
+
+    def _range(self, field: str):
+        """`[a TO b]` / `{a TO b}` — closing bracket chosen independently
+        (Lucene allows mixed `[a TO b}`); `*` = open bound."""
+        ok, _ = self.take()
+        lo_inc = ok == "lbrack"
+        lo = self._range_value()
+        tk, tv = self.take()
+        if tk != "word" or tv.upper() != "TO":
+            raise ValueError(f"expected TO in range for {field}")
+        hi = self._range_value()
+        ck, _ = self.take()
+        if ck not in ("rbrack", "rbrace"):
+            raise ValueError(f"unterminated range for {field}")
+        return FieldRange(field, lo, hi, lo_inc, ck == "rbrack")
 
 
 def parse_query_string(s: str):
@@ -199,6 +279,21 @@ def parse_query_string(s: str):
 # --- compilers -------------------------------------------------------------------
 
 _NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
+
+
+def _spark_lit(v: str):
+    """Typed literal: int/float when numeric, else string (Spark implicitly
+    casts a string literal when compared to date/timestamp columns, matching
+    ES range semantics on time fields)."""
+    if _NUM_RE.match(v):
+        return F.lit(float(v)) if "." in v else F.lit(int(v))
+    return F.lit(v)
+
+
+def _sql_lit(v: str) -> str:
+    if _NUM_RE.match(v):
+        return v
+    return "'" + v.replace("'", "''") + "'"
 
 
 def _resolve_field(field: str, columns: list[str]) -> str:
@@ -217,9 +312,23 @@ def _term_regex(term: str) -> str:
     return phrase_regex(toks)
 
 
-def to_spark_predicate(node, text_col: str, columns: list[str]) -> Column:
-    """Boolean filter-context compilation (no scoring)."""
+def to_spark_predicate(
+    node, text_col: str, columns: list[str],
+    term_markers: dict | None = None,
+) -> Column:
+    """Boolean filter-context compilation (no scoring).
+
+    ``term_markers`` (optional) maps a single TOKEN to a precomputed boolean
+    Column meaning "document contains token" — supplied by the index-backed
+    filter path (index/filter.py) so Term atoms become posting-list lookups
+    instead of regex scans. Falls back to rlike when absent."""
+    if isinstance(node, MatchAll):
+        return F.lit(True)
     if isinstance(node, Term):
+        if term_markers is not None:
+            toks = tokenize_py(node.text)
+            if len(toks) == 1 and toks[0] in term_markers:
+                return term_markers[toks[0]]
         return F.lower(F.col(text_col)).rlike(_term_regex(node.text))
     if isinstance(node, Phrase):
         toks = tokenize_py(node.text)
@@ -233,23 +342,35 @@ def to_spark_predicate(node, text_col: str, columns: list[str]) -> Column:
         return c == F.lit(node.value)
     if isinstance(node, Exists):
         return F.col(_resolve_field(node.field, columns)).isNotNull()
+    if isinstance(node, FieldRange):
+        c = F.col(_resolve_field(node.field, columns))
+        cond = c.isNotNull()
+        if node.lo is not None:
+            lit = _spark_lit(node.lo)
+            cond = cond & ((c >= lit) if node.lo_inc else (c > lit))
+        if node.hi is not None:
+            lit = _spark_lit(node.hi)
+            cond = cond & ((c <= lit) if node.hi_inc else (c < lit))
+        return cond
     if isinstance(node, And):
-        out = to_spark_predicate(node.parts[0], text_col, columns)
+        out = to_spark_predicate(node.parts[0], text_col, columns, term_markers)
         for p in node.parts[1:]:
-            out = out & to_spark_predicate(p, text_col, columns)
+            out = out & to_spark_predicate(p, text_col, columns, term_markers)
         return out
     if isinstance(node, Or):
-        out = to_spark_predicate(node.parts[0], text_col, columns)
+        out = to_spark_predicate(node.parts[0], text_col, columns, term_markers)
         for p in node.parts[1:]:
-            out = out | to_spark_predicate(p, text_col, columns)
+            out = out | to_spark_predicate(p, text_col, columns, term_markers)
         return out
     if isinstance(node, Not):
-        return ~to_spark_predicate(node.part, text_col, columns)
+        return ~to_spark_predicate(node.part, text_col, columns, term_markers)
     raise TypeError(node)
 
 
 def to_duckdb_sql(node, text_col: str, columns: list[str]) -> str:
     """Same predicate as ANSI/DuckDB SQL (the correctness oracle)."""
+    if isinstance(node, MatchAll):
+        return "TRUE"
     if isinstance(node, Term):
         return f"regexp_matches(lower({text_col}), '{_term_regex(node.text)}')"
     if isinstance(node, Phrase):
@@ -266,6 +387,14 @@ def to_duckdb_sql(node, text_col: str, columns: list[str]) -> str:
         return f"{c} = '{v}'"
     if isinstance(node, Exists):
         return f"{_resolve_field(node.field, columns)} IS NOT NULL"
+    if isinstance(node, FieldRange):
+        c = _resolve_field(node.field, columns)
+        parts = [f"{c} IS NOT NULL"]
+        if node.lo is not None:
+            parts.append(f"{c} {'>=' if node.lo_inc else '>'} {_sql_lit(node.lo)}")
+        if node.hi is not None:
+            parts.append(f"{c} {'<=' if node.hi_inc else '<'} {_sql_lit(node.hi)}")
+        return "(" + " AND ".join(parts) + ")"
     if isinstance(node, And):
         return "(" + " AND ".join(to_duckdb_sql(p, text_col, columns) for p in node.parts) + ")"
     if isinstance(node, Or):
@@ -277,6 +406,8 @@ def to_duckdb_sql(node, text_col: str, columns: list[str]) -> str:
 
 def to_python_predicate(node, text_col: str, columns: list[str]):
     """Oracle-side compilation: row dict → bool (pure Python)."""
+    if isinstance(node, MatchAll):
+        return lambda row: True
     if isinstance(node, Term):
         rx = re.compile(_term_regex(node.text))
         return lambda row: row.get(text_col) is not None and bool(
@@ -299,6 +430,39 @@ def to_python_predicate(node, text_col: str, columns: list[str]):
     if isinstance(node, Exists):
         c = _resolve_field(node.field, columns)
         return lambda row: row.get(c) is not None
+    if isinstance(node, FieldRange):
+        c = _resolve_field(node.field, columns)
+        lo, hi = node.lo, node.hi
+
+        def _coerce(rowv, bound):
+            import datetime
+            if isinstance(rowv, bool):
+                return str(rowv), bound
+            if isinstance(rowv, (int, float)) and _NUM_RE.match(bound):
+                return float(rowv), float(bound)
+            if isinstance(rowv, (datetime.datetime, datetime.date)):
+                import pandas as pd
+                b = pd.Timestamp(bound)
+                if isinstance(rowv, datetime.datetime):
+                    return pd.Timestamp(rowv), b
+                return pd.Timestamp(rowv), b.normalize()
+            return str(rowv), bound
+
+        def check(row):
+            v = row.get(c)
+            if v is None:
+                return False
+            if lo is not None:
+                a, b = _coerce(v, lo)
+                if not (a >= b if node.lo_inc else a > b):
+                    return False
+            if hi is not None:
+                a, b = _coerce(v, hi)
+                if not (a <= b if node.hi_inc else a < b):
+                    return False
+            return True
+
+        return check
     if isinstance(node, And):
         fs = [to_python_predicate(p, text_col, columns) for p in node.parts]
         return lambda row: all(f(row) for f in fs)
@@ -309,6 +473,60 @@ def to_python_predicate(node, text_col: str, columns: list[str]):
         f = to_python_predicate(node.part, text_col, columns)
         return lambda row: not f(row)
     raise TypeError(node)
+
+
+def dsl_to_ast(d: dict):
+    """ES-DSL dict subset → AST (ref F3: the reference appends raw DSL
+    filters to every model query, app/helpers/es.py:252-270 / :537-565).
+
+    Supported: bool (must/should/must_not/filter), term, terms, range
+    (gt/gte/lt/lte), exists, query_string, match_all. Compiles through the
+    same three backends as the query_string grammar."""
+    if not isinstance(d, dict) or len(d) != 1:
+        raise ValueError(f"expected a single-key DSL dict, got {d!r}")
+    kind, body = next(iter(d.items()))
+    if kind == "match_all":
+        return MatchAll()
+    if kind == "query_string":
+        return parse_query_string(body["query"] if isinstance(body, dict) else body)
+    if kind == "term":
+        (f, v), = body.items()
+        if isinstance(v, dict):
+            v = v["value"]
+        return FieldEq(f, str(v))
+    if kind == "terms":
+        (f, vals), = body.items()
+        return Or([FieldEq(f, str(v)) for v in vals])
+    if kind == "exists":
+        return Exists(body["field"] if isinstance(body, dict) else body)
+    if kind == "range":
+        (f, spec), = body.items()
+        lo = spec.get("gte", spec.get("gt"))
+        hi = spec.get("lte", spec.get("lt"))
+        return FieldRange(
+            f,
+            None if lo is None else str(lo),
+            None if hi is None else str(hi),
+            lo_inc="gte" in spec or "gt" not in spec,
+            hi_inc="lte" in spec or "lt" not in spec,
+        )
+    if kind == "bool":
+        parts: list = []
+        for key in ("must", "filter"):
+            clauses = body.get(key, [])
+            clauses = clauses if isinstance(clauses, list) else [clauses]
+            parts.extend(dsl_to_ast(c) for c in clauses)
+        should = body.get("should", [])
+        should = should if isinstance(should, list) else [should]
+        if should:
+            parts.append(Or([dsl_to_ast(c) for c in should]))
+        must_not = body.get("must_not", [])
+        must_not = must_not if isinstance(must_not, list) else [must_not]
+        parts.extend(Not(dsl_to_ast(c)) for c in must_not)
+        if not parts:
+            return MatchAll()
+        return parts[0] if len(parts) == 1 else And(parts)
+    raise ValueError(f"unsupported DSL clause {kind!r}")
 
 
 def collect_text_terms(node) -> tuple[list[str], list[str]]:

@@ -31,7 +31,7 @@ import json, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 cpus = {cpus}
 mult = {mult}
-reps = {reps}
+n_reps = {reps}
 textrep = {textrep}
 sf_dir = {sf_dir!r}
 from ee_outliers_spark.session import get_spark
@@ -42,8 +42,8 @@ spark = get_spark("scale-%d" % cpus, master="local[%d]" % cpus,
                   shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(sf_dir + "/documents.parquet")
-reps = spark.range(mult).select(F.col("id").alias("rep"))
-big = docs.crossJoin(reps).select(
+rep_ids = spark.range(mult).select(F.col("id").alias("rep"))
+big = docs.crossJoin(rep_ids).select(
     (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
     F.concat_ws(" ", F.array_repeat(F.col("text"), textrep)).alias("text"))
 big = big.repartition(128).cache()
@@ -60,17 +60,21 @@ for _ in range(2):
     # warm the same stage shape as the build (groupBy + applyInPandas)
     warm.groupBy("seg_id").applyInPandas(_noop, "n long").count()
 from ee_outliers_spark.index.build import build_segments
-out = tempfile.mkdtemp(prefix="scale_idx_")
-try:
-    t0 = time.monotonic()
-    # IDENTICAL job at both parallelism levels: fixed segment count (128),
-    # only the core count varies — the cluster-size analog.
-    build_segments(spark, big, "doc_id", "text", out,
-                   num_segments=128, resume=False)
-    dt = time.monotonic() - t0
-finally:
-    shutil.rmtree(out, ignore_errors=True)
+times = []
+for r in range(n_reps):
+    out = tempfile.mkdtemp(prefix="scale_idx_")
+    try:
+        t0 = time.monotonic()
+        # IDENTICAL job at both parallelism levels: fixed segment count
+        # (128), only the core count varies — the cluster-size analog.
+        build_segments(spark, big, "doc_id", "text", out,
+                       num_segments=128, resume=False)
+        times.append(time.monotonic() - t0)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+dt = min(times)
 print(json.dumps({{"cpus": cpus, "n_docs": n, "secs": round(dt, 3),
+                   "all_secs": [round(t, 3) for t in times],
                    "docs_per_sec": round(n / dt, 1)}}))
 """
 
@@ -110,8 +114,11 @@ def main() -> None:
                     help="run ONE core count and print its JSON (for "
                          "driving the two phases under separate timeouts)")
     ap.add_argument("--from-json", nargs=2, default=None,
-                    metavar=("LOW_JSON", "HIGH_JSON"),
-                    help="combine two --single outputs into BENCH.md")
+                    metavar=("LOW_JSONS", "HIGH_JSONS"),
+                    help="combine --single outputs into BENCH.md; each side "
+                         "is a comma-separated list of JSON files (one per "
+                         "fresh-JVM invocation); the side's throughput is "
+                         "the MEDIAN of per-invocation bests")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.abspath(__file__))
 
@@ -120,18 +127,24 @@ def main() -> None:
                                  args.sf_dir, repo, args.reps)))
         return
     if args.from_json:
-        lo = json.load(open(args.from_json[0]))
-        hi = json.load(open(args.from_json[1]))
-        args.low, args.high = lo["cpus"], hi["cpus"]
+        los = [json.load(open(p)) for p in args.from_json[0].split(",")]
+        his = [json.load(open(p)) for p in args.from_json[1].split(",")]
     else:
-        lo = run_one(args.low, args.multiplier, args.textrep, args.sf_dir,
-                     repo, args.reps)
-        hi = run_one(args.high, args.multiplier, args.textrep, args.sf_dir,
-                     repo, args.reps)
-    ratio = hi["docs_per_sec"] / lo["docs_per_sec"]
+        los = [run_one(args.low, args.multiplier, args.textrep, args.sf_dir,
+                       repo, args.reps)]
+        his = [run_one(args.high, args.multiplier, args.textrep, args.sf_dir,
+                       repo, args.reps)]
+    import statistics
+    lo_thr = statistics.median(r["docs_per_sec"] for r in los)
+    hi_thr = statistics.median(r["docs_per_sec"] for r in his)
+    lo, hi = los[0], his[0]
+    args.low, args.high = lo["cpus"], hi["cpus"]
+    ratio = hi_thr / lo_thr
     eff = ratio / (args.high / args.low)
     result = {
-        "low": lo, "high": hi,
+        "low_cpus": args.low, "high_cpus": args.high,
+        "low_docs_per_sec": lo_thr, "high_docs_per_sec": hi_thr,
+        "low_invocations": los, "high_invocations": his,
         "speedup": round(ratio, 3),
         "scaling_efficiency": round(eff, 3),
         "criterion": ">=0.8",
@@ -139,16 +152,23 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    def side_rows(rs):
+        return "<br>".join(
+            f"inv{i+1}: {r['secs']}s (reps {r.get('all_secs', [r['secs']])})"
+            for i, r in enumerate(rs))
+
     section = f"""
 ## Scaling evidence (sandbox protocol, {args.low}→{args.high} cores)
 
 Same SPIMI index-build job, same input ({lo['n_docs']:,} docs = sf corpus
-×{args.multiplier}, text ×{args.textrep}), two fresh JVMs:
+×{args.multiplier}, text ×{args.textrep}); {len(los)}/{len(his)} fresh-JVM
+invocations per side, each invocation runs the timed build {args.reps}× and
+keeps the best (steady-state); side throughput = median over invocations:
 
-| cores | build secs | docs/sec |
+| cores | median docs/sec | per-invocation best build secs |
 |---|---|---|
-| {args.low} | {lo['secs']} | {lo['docs_per_sec']:,} |
-| {args.high} | {hi['secs']} | {hi['docs_per_sec']:,} |
+| {args.low} | {lo_thr:,} | {side_rows(los)} |
+| {args.high} | {hi_thr:,} | {side_rows(his)} |
 
 speedup ×{result['speedup']} over a ×{args.high // args.low} core increase →
 **scaling efficiency {result['scaling_efficiency']}** (criterion ≥0.8:

@@ -75,6 +75,30 @@ def test_phrase_rank_identity(phrase, spark, documents, naive, oracle):
     _check(got, oracle.phrase_topk(tokenize_py(phrase), K))
 
 
+def test_wand_multiblock_tied_pivot(spark, tmp_path_factory):
+    """Regression: with >128 postings per list (multiple blocks, so block_ub
+    < max_score) and cursors TIED on the pivot doc, the block-max upper bound
+    must include every tied cursor — the round-1 code summed live[:pivot_i+1]
+    only and silently dropped true top-k docs once the heap filled."""
+    rows = []
+    # 300 docs all containing alpha+beta+gamma (3 cursors, lists >2 blocks,
+    # always tied on the pivot); tf/dl patterns make late docs the winners.
+    for d in range(300):
+        boost = 6 if d % 97 == 5 else 1
+        text = " ".join(
+            ["alpha"] * boost + ["beta"] * (1 + d % 3) + ["gamma"]
+            + ["filler%d" % (d % 7)] * (d % 11)
+        )
+        rows.append((d, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path_factory.mktemp("index_tied"))
+    p = build_segments(spark, docs, "doc_id", "text", out, num_segments=1)
+    oracle = OracleIndex({d: t for d, t in rows})
+    for k in (1, 3, 10):
+        got = bm25_topk_wand(spark, p, ["alpha", "beta", "gamma"], k, "or").collect()
+        _check(got, oracle.topk(["alpha", "beta", "gamma"], k, "or"))
+
+
 def test_wand_resume(spark, documents, tmp_path_factory, oracle):
     """Kill-and-resume: a build with half the segments done completes and
     answers identically (north_rule resumability)."""

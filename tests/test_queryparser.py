@@ -5,8 +5,8 @@ import duckdb
 import pytest
 
 from ee_outliers_spark.queryparser import (
-    And, Exists, FieldEq, Not, Or, Phrase, Term,
-    collect_text_terms, parse_query_string,
+    And, Exists, FieldEq, FieldRange, MatchAll, Not, Or, Phrase, Term,
+    collect_text_terms, dsl_to_ast, parse_query_string,
     to_duckdb_sql, to_python_predicate, to_spark_predicate,
 )
 
@@ -42,6 +42,38 @@ def test_collect_text_terms():
     assert phrases == ["key order"]
 
 
+def test_range_shapes():
+    r = parse_query_string("n_chars:[10 TO 20]")
+    assert r == FieldRange("n_chars", "10", "20", True, True)
+    r = parse_query_string("n_chars:{10 TO 20}")
+    assert (r.lo_inc, r.hi_inc) == (False, False)
+    r = parse_query_string("n_chars:[* TO 20}")
+    assert r.lo is None and not r.hi_inc
+    assert parse_query_string("n_chars:>5") == FieldRange(
+        "n_chars", "5", None, False, True)
+    assert parse_query_string("n_chars:<=5").hi == "5"
+    assert parse_query_string("n_chars:>-5").lo == "-5"
+
+
+def test_not_adjacency():
+    n = parse_query_string("a NOT b")
+    assert isinstance(n, Or) and isinstance(n.parts[1], Not)
+
+
+def test_dsl_subset():
+    ast = dsl_to_ast({"bool": {
+        "filter": [{"range": {"n_chars": {"gte": 1, "lt": 9}}}],
+        "should": [{"term": {"lang": "en"}}, {"terms": {"lang": ["de", "fr"]}}],
+        "must_not": [{"exists": {"field": "source"}}],
+    }})
+    assert isinstance(ast, And)
+    assert dsl_to_ast({"match_all": {}}) == MatchAll()
+    qs = dsl_to_ast({"query_string": {"query": "lang:en"}})
+    assert qs == FieldEq("lang", "en")
+    with pytest.raises(ValueError):
+        dsl_to_ast({"fuzzy": {"text": "x"}})
+
+
 QUERIES = [
     "fast",
     '"key order"',
@@ -55,7 +87,40 @@ QUERIES = [
     "NOT (fast OR slow)",
     "the AND batch AND stream",
     "zebraqqq",  # zero matches
+    "n_chars:[100 TO 300]",
+    "n_chars:{100 TO 300}",
+    "n_chars:[* TO 150] AND lang:en",
+    "n_chars:>=250 OR n_chars:<50",
+    "fast NOT lang:de",
 ]
+
+DSL_QUERIES = [
+    {"range": {"n_chars": {"gte": 100, "lte": 300}}},
+    {"bool": {"filter": [{"range": {"n_chars": {"gt": 50}}}],
+              "must_not": [{"term": {"lang": "de"}}]}},
+    {"terms": {"lang": ["en", "fr"]}},
+    {"match_all": {}},
+]
+
+
+@pytest.mark.parametrize("d", DSL_QUERIES)
+def test_dsl_three_way_agreement(d, spark, documents, sf_dir):
+    node = dsl_to_ast(d)
+    spark_ids = sorted(
+        r[0] for r in documents.where(
+            to_spark_predicate(node, "text", COLS)
+        ).select("doc_id").collect()
+    )
+    sql = to_duckdb_sql(node, "text", COLS)
+    duck_ids = sorted(
+        r[0] for r in duckdb.sql(
+            f"select doc_id from '{sf_dir}/documents.parquet' where {sql}"
+        ).fetchall()
+    )
+    pred = to_python_predicate(node, "text", COLS)
+    rows = [r.asDict() for r in documents.collect()]
+    py_ids = sorted(r["doc_id"] for r in rows if pred(r))
+    assert spark_ids == duck_ids == py_ids
 
 
 @pytest.mark.parametrize("q", QUERIES)
