@@ -111,6 +111,24 @@ def main() -> None:
     timed("ann_cosine", lambda: cosine_topk(
         emb, "vec_id", "embedding", ep.ANN_QUERY, 10).collect())
 
+    # --- indexed LSH ANN: build once, probe buckets, rerank candidates -------
+    from ee_outliers_spark.operators.similarity import (
+        build_lsh_index, lsh_candidates, lsh_topk_indexed,
+    )
+
+    lsh_dir = tempfile.mkdtemp(prefix="bench_lsh_")
+    try:
+        qv = ep._lsh_query_vec(spark, sf_dir)
+        timed("lsh_index_build", lambda: build_lsh_index(
+            emb, "vec_id", "embedding", lsh_dir, dim=len(qv)))
+        timed("ann_lsh", lambda: lsh_topk_indexed(
+            spark, emb, "vec_id", "embedding", lsh_dir, qv, 10).collect())
+        lsh_candidate_frac = round(
+            lsh_candidates(spark, lsh_dir, qv).count() / emb.count(), 4
+        )
+    finally:
+        shutil.rmtree(lsh_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "index-build + BM25 topk + analyzer suite wall time",
@@ -120,6 +138,7 @@ def main() -> None:
         "sf": sf,
         "n_docs": n_docs_total,
         "docs_per_sec_index_build": docs_per_sec,
+        "lsh_candidate_frac": lsh_candidate_frac,
         "cpus": cpus,
     }))
 

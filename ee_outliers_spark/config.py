@@ -57,6 +57,14 @@ class AnalyzerSpec:
     history_end: dt.datetime | None = None
     sliding_window_size: dt.timedelta | None = None
     sliding_window_step_size: dt.timedelta | None = None
+    # word2vec extras (ml_models/word2vec.py defaults)
+    word2vec_window: int = 2
+    max_voc_size: int = 6000
+    min_voc_occurrence: int = 1
+    # per-file whitelists (ref analyzerfactory.py:76-83 attaches the file's
+    # [whitelist_literals]/[whitelist_regexps] sections to every model in it)
+    whitelist_literals: list[list[str]] = field(default_factory=list)
+    whitelist_regexps: list[list[str]] = field(default_factory=list)
 
 
 def parse_duration(s: str) -> dt.timedelta:
@@ -75,6 +83,19 @@ def load_use_cases(pattern_or_paths) -> list[AnalyzerSpec]:
     for path in paths:
         cp = configparser.ConfigParser(interpolation=None)
         cp.read(path)
+        # file-scoped whitelists: each literals value is a comma-separated
+        # CONJUNCTION; each regexps value a comma-separated set of patterns
+        # that must all match (ref settings.py:73-111)
+        wl_lit = [
+            [x.strip() for x in v.split(",") if x.strip()]
+            for _, v in (cp["whitelist_literals"].items()
+                         if "whitelist_literals" in cp else [])
+        ]
+        wl_rx = [
+            [x.strip() for x in v.split(",") if x.strip()]
+            for _, v in (cp["whitelist_regexps"].items()
+                         if "whitelist_regexps" in cp else [])
+        ]
         for section in cp.sections():
             prefix = next(
                 (p for p in ANALYZER_PREFIXES if section.startswith(p + "_")), None
@@ -99,7 +120,14 @@ def load_use_cases(pattern_or_paths) -> list[AnalyzerSpec]:
                 outlier_reason=sec.get("outlier_reason"),
                 outlier_summary=sec.get("outlier_summary"),
                 run_model=sec.getboolean("run_model", fallback=True),
+                whitelist_literals=wl_lit,
+                whitelist_regexps=wl_rx,
             )
+            if prefix == "word2vec":
+                spec.word2vec_window = sec.getint("size_window", fallback=2)
+                spec.max_voc_size = sec.getint("max_voc_size", fallback=6000)
+                spec.min_voc_occurrence = sec.getint(
+                    "min_voc_occurrence", fallback=1)
             if prefix == "sudden_appearance":
                 if sec.get("sliding_window_size"):
                     spec.sliding_window_size = parse_duration(sec["sliding_window_size"])
@@ -110,12 +138,29 @@ def load_use_cases(pattern_or_paths) -> list[AnalyzerSpec]:
     return specs
 
 
+def _retract_whitelisted(out: DataFrame, source_cols, spec: AnalyzerSpec) -> DataFrame:
+    """Drop flagged rows matching the spec's whitelists (ref outlier.py:66-110;
+    terms/metrics do this inside their fixpoint — this is the single-pass
+    variant for analyzers whose frontier doesn't depend on the flagged set)."""
+    if not (spec.whitelist_literals or spec.whitelist_regexps):
+        return out
+    from .operators.whitelist import value_set_col, whitelist_predicate
+
+    usable = [c for c in source_cols if c in out.columns]
+    wl = whitelist_predicate(
+        value_set_col(out, usable), spec.whitelist_literals,
+        spec.whitelist_regexps,
+    )
+    return out.where(~wl)
+
+
 def run_analyzer(
     df: DataFrame,
     spec: AnalyzerSpec,
     text_col: str = "text",
     ts_col: str | None = None,
     history: tuple[dt.datetime, dt.datetime] | None = None,
+    key_col: str = "doc_id",
 ) -> DataFrame:
     """Execute one spec → outlier rows + (outlier_type/reason/summary)."""
     work = df
@@ -125,19 +170,23 @@ def run_analyzer(
     if ts_col and history:
         work = work.where(F.col(ts_col).between(*history))
 
+    wl = dict(whitelist_literals=spec.whitelist_literals or None,
+              whitelist_regexps=spec.whitelist_regexps or None)
     if spec.model_type == "simplequery":
         out = simplequery_outliers(work, spec.es_query_filter or "*",
                                    text_col=text_col)
+        out = _retract_whitelisted(out, df.columns, spec)
     elif spec.model_type == "terms":
         out = terms_outliers(
             work, spec.aggregator, spec.target, spec.target_count_method,
             spec.trigger_method, spec.trigger_sensitivity, spec.trigger_on,
-            min_target_buckets=spec.min_target_buckets,
+            min_target_buckets=spec.min_target_buckets, **wl,
         )
     elif spec.model_type == "metrics":
         out = metrics_outliers(
             work, spec.aggregator, spec.target, spec.metric,
             spec.trigger_method, spec.trigger_sensitivity, spec.trigger_on,
+            **wl,
         )
     elif spec.model_type == "sudden_appearance":
         start, end = history if history else (spec.history_start, spec.history_end)
@@ -145,6 +194,18 @@ def run_analyzer(
             work, spec.aggregator, spec.target, ts_col, start, end,
             spec.sliding_window_size, spec.sliding_window_step_size,
         )
+        out = _retract_whitelisted(out, df.columns, spec)
+    elif spec.model_type == "word2vec":
+        from .operators.word2vec import word2vec_outliers
+
+        out = word2vec_outliers(
+            work, spec.aggregator, key_col, spec.target or text_col,
+            spec.trigger_method or "stdev", spec.trigger_sensitivity or 1.0,
+            spec.trigger_on or "low",
+            window=spec.word2vec_window, max_voc_size=spec.max_voc_size,
+            min_voc_occurrence=spec.min_voc_occurrence,
+        ).withColumnRenamed("text_id", key_col)
+        out = _retract_whitelisted(out, [c for c in out.columns], spec)
     else:
         raise ValueError(f"unsupported model type {spec.model_type}")
 
@@ -173,15 +234,20 @@ def run_all(
     ts_col: str | None = None,
     history: tuple[dt.datetime, dt.datetime] | None = None,
     detected_ts: dt.datetime | None = None,
+    stats: list | None = None,
 ) -> dict[str, int]:
     """One daemon tick: run every enabled spec; MERGE into the OutlierStore.
-    Returns {model_name: n_new_outliers}."""
+    Returns {model_name: n_new_outliers}. Pass ``stats=[]`` to collect
+    per-model run records for ``analysis_summary``."""
+    import time as _time
+
     results = {}
     for spec in specs:
         if not spec.run_model:
             continue
+        _t0 = _time.monotonic()
         out = run_analyzer(df, spec, text_col=text_col, ts_col=ts_col,
-                           history=history)
+                           history=history, key_col=key_col)
         if store is not None:
             staged = out.select(
                 F.col(key_col).cast("string").alias("doc_key"),
@@ -190,7 +256,9 @@ def run_all(
                 F.col("outlier_summary").alias("summary"),
                 F.to_json(F.struct(
                     *[c for c in ("aggregator", "target", "term_count",
-                                  "decision_frontier", "metric_value")
+                                  "decision_frontier", "metric_value",
+                                  "non_outlier_values_sample", "observation",
+                                  "score")
                       if c in out.columns]
                 )).alias("observations"),
                 F.lit(detected_ts or dt.datetime(2024, 1, 1)).alias("detected_ts"),
@@ -198,4 +266,43 @@ def run_all(
             results[spec.name] = store.upsert(staged)
         else:
             results[spec.name] = out.count()
+        if stats is not None:
+            stats.append({
+                "model_name": spec.name,
+                "model_type": spec.model_type,
+                "total_outliers": results[spec.name],
+                "analysis_time_seconds": _time.monotonic() - _t0,
+                "completed": True,
+            })
     return results
+
+
+def analysis_summary(stats: list[dict]) -> dict:
+    """Run-summary report (ref A9/T4, app/outliers.py:298-367
+    print_analysis_summary): totals + the 10 most time-consuming use cases.
+    Returns the numbers instead of logging them — callers render."""
+    completed = [s for s in stats if s.get("completed")]
+    times = [s["analysis_time_seconds"] for s in completed]
+    slowest = sorted(
+        completed, key=lambda s: s["analysis_time_seconds"], reverse=True
+    )[:10]
+    return {
+        "total_use_cases_processed": len(stats),
+        "total_outliers_detected": sum(s["total_outliers"] for s in completed),
+        "succesfully_analyzed_use_cases": len(completed),
+        "use_cases_with_errors": len(stats) - len(completed),
+        "total_analysis_time_seconds": float(sum(times)),
+        "average_analysis_time_seconds": (
+            float(sum(times) / len(times)) if times else 0.0
+        ),
+        "most_time_consuming_use_cases_top10": [
+            {
+                "model": f"{s['model_type']}_{s['model_name']}"
+                if not s["model_name"].startswith(s["model_type"])
+                else s["model_name"],
+                "total_outliers": s["total_outliers"],
+                "analysis_time_seconds": s["analysis_time_seconds"],
+            }
+            for s in slowest
+        ],
+    }

@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, StringType
 
 # --- shannon entropy (ref X3: app/helpers/utils.py:113-127) ------------------
 
@@ -136,6 +136,77 @@ def _url_len_one(s: str | None) -> float | None:
             total += len(w)
             found = True
     return float(total) if found else None
+
+
+def _hex_word_one(s: str | None) -> str | None:
+    """The longest hex-parseable word itself (ref T3: metrics.py:427-438
+    records the decoded words sorted by length as observations)."""
+    if s is None:
+        return None
+    best = None
+    for w in _HEX_SPLIT.split(s):
+        if len(w) > 10 and (best is None or len(w) > len(best)):
+            try:
+                int(w, 16)
+                best = w
+            except ValueError:
+                pass
+    return best
+
+
+def _b64_word_one(s: str | None) -> str | None:
+    """The longest decoded base64 payload (ref metrics.py:446-457)."""
+    if s is None:
+        return None
+    best = None
+    for w in _B64_SPLIT.split(s):
+        if len(w) < 8 or len(w) % 4:
+            continue
+        try:
+            txt = _b64.b64decode(w, validate=True).decode("ascii")
+        except Exception:
+            continue
+        if len(txt) >= 5 and (best is None or len(txt) > len(best)):
+            best = txt
+    return best
+
+
+def _url_words_one(s: str | None) -> str | None:
+    """Comma-joined URL-shaped words (ref metrics.py:473-481)."""
+    if s is None:
+        return None
+    found = [w for w in _URL_SPLIT.split(s) if w and _URL_RE.match(w)]
+    return ",".join(found) if found else None
+
+
+@F.pandas_udf(StringType())
+def hex_decoded_word(s: pd.Series) -> pd.Series:
+    return s.map(_hex_word_one)
+
+
+@F.pandas_udf(StringType())
+def base64_decoded_word(s: pd.Series) -> pd.Series:
+    return s.map(_b64_word_one)
+
+
+@F.pandas_udf(StringType())
+def url_words(s: pd.Series) -> pd.Series:
+    return s.map(_url_words_one)
+
+
+#: per-metric observation payload (ref T3/A10): the matched/decoded words
+#: recorded alongside the numeric metric
+OBSERVATIONS = {
+    "hex_encoded_length": hex_decoded_word,
+    "base64_encoded_length": base64_decoded_word,
+    "url_length": url_words,
+}
+
+
+def observation_column(metric: str, col):
+    c = F.col(col) if isinstance(col, str) else col
+    fn = OBSERVATIONS.get(metric)
+    return fn(c) if fn is not None else F.lit(None).cast("string")
 
 
 @F.pandas_udf(DoubleType())

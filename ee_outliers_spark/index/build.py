@@ -159,9 +159,13 @@ def segment_frame(seg_id: int, doc_ids_sorted: np.ndarray, dls_sorted: np.ndarra
             (seg_id, term, len(docs), len(docs), doc_blob, tf_blob,
              blast, bmaxtf, bmindl, None, None, elapsed)
         )
-    # doclen sidecar row (term NULL)
+    # doclen sidecar row (term NULL). df_local/n_postings are repurposed to
+    # carry the SEGMENT totals (n_terms, n_postings) so manifest + stats are
+    # a 1-row-per-segment collect instead of a full segment-table aggregation
+    # — that post-build agg was a measurable non-scaling tail.
     out_rows.append((
-        seg_id, None, None, None,
+        seg_id, None, int(len(out_rows)),
+        int(sum(r[3] for r in out_rows)),
         varbyte_encode(np.diff(doc_ids_sorted.astype(np.uint64),
                                prepend=np.uint64(0))),
         varbyte_encode(dls_sorted.astype(np.uint64)),
@@ -306,12 +310,17 @@ def write_manifest(spark: SparkSession, paths: IndexPaths, seg_ids: list[int],
                    segs: DataFrame | None = None) -> None:
     if segs is None:
         segs = spark.read.parquet(paths.segments)
+    # sidecar rows carry the per-segment totals (emitted by the kernel):
+    # 1 row per segment, columnar-pruned scan — no full-table aggregation
     seg_stats = (
         segs
-        .where(F.col("seg_id").isin(seg_ids) & F.col("term").isNotNull())
-        .groupBy("seg_id")
-        .agg(F.sum("n_postings").alias("postings"), F.count("*").alias("terms"),
-             F.max("build_secs").alias("build_secs"))
+        .where(F.col("seg_id").isin(seg_ids) & F.col("term").isNull())
+        .select(
+            "seg_id",
+            F.col("n_postings").alias("postings"),
+            F.col("df_local").alias("terms"),
+            "build_secs",
+        )
         .collect()
     )
     with open(paths.manifest, "a") as fh:

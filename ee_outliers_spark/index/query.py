@@ -190,24 +190,78 @@ def doclen_df(spark: SparkSession, paths: IndexPaths) -> DataFrame:
 
 
 class _TermCursor:
-    __slots__ = ("docs", "tfs", "dls", "idf", "pos", "block_last", "block_max", "max_score")
+    """Lazy block-decoding posting cursor.
 
-    def __init__(self, docs, tfs, dls, idf, block_last, block_max):
-        self.docs = docs          # int64 asc
-        self.tfs = tfs
-        self.dls = dls            # dl aligned with docs
+    The compressed blobs are kept as bytes; one vectorized pass over the
+    continuation bits yields per-value byte boundaries WITHOUT decoding, and
+    a 128-posting block is decoded (delta-cumsum re-based on the previous
+    block's last docID) only when the cursor actually lands in it. Seeks go
+    through ``block_last_doc`` — skipped blocks are never decompressed and
+    their doc-length gathers never happen (Ding & Suel's block-max WAND
+    skip benefit applied to decompression, not just score bounds)."""
+
+    __slots__ = ("doc_blob", "tf_blob", "doc_ends", "tf_ends", "n",
+                 "dl_docs", "dl_vals", "idf", "pos",
+                 "block_last", "block_max", "max_score",
+                 "blk", "blk_docs", "blk_tfs", "blk_dls")
+
+    def __init__(self, doc_blob, tf_blob, dl_docs, dl_vals, idf,
+                 block_last, block_max):
+        self.doc_blob = doc_blob
+        self.tf_blob = tf_blob
+        db = np.frombuffer(doc_blob, dtype=np.uint8)
+        tb = np.frombuffer(tf_blob, dtype=np.uint8)
+        self.doc_ends = np.flatnonzero((db & 0x80) == 0)
+        self.tf_ends = np.flatnonzero((tb & 0x80) == 0)
+        self.n = len(self.doc_ends)
+        self.dl_docs = dl_docs
+        self.dl_vals = dl_vals
         self.idf = idf
         self.pos = 0
-        self.block_last = block_last
-        self.block_max = block_max  # idf-scaled block upper bounds (query-time)
+        self.block_last = np.asarray(block_last, dtype=np.int64)
+        self.block_max = block_max  # idf-scaled block upper bounds
         self.max_score = float(block_max.max()) if len(block_max) else 0.0
+        self.blk = -1
+
+    def _load(self, b: int) -> None:
+        lo, hi = 128 * b, min(128 * (b + 1), self.n)
+        dlo = 0 if lo == 0 else int(self.doc_ends[lo - 1]) + 1
+        dhi = int(self.doc_ends[hi - 1]) + 1
+        gaps = varbyte_decode(self.doc_blob[dlo:dhi]).astype(np.int64)
+        base = int(self.block_last[b - 1]) if b > 0 else 0
+        self.blk_docs = np.cumsum(gaps) + base
+        tlo = 0 if lo == 0 else int(self.tf_ends[lo - 1]) + 1
+        thi = int(self.tf_ends[hi - 1]) + 1
+        self.blk_tfs = varbyte_decode(self.tf_blob[tlo:thi]).astype(np.int64)
+        self.blk_dls = self.dl_vals[np.searchsorted(self.dl_docs, self.blk_docs)]
+        self.blk = b
+
+    def _ensure(self):
+        b = self.pos // 128
+        if b != self.blk:
+            self._load(b)
+        return b
 
     def cur_doc(self):
-        return self.docs[self.pos] if self.pos < len(self.docs) else None
+        if self.pos >= self.n:
+            return None
+        b = self._ensure()
+        return int(self.blk_docs[self.pos - 128 * b])
 
     def seek(self, target):
-        # jump to first posting with doc >= target (searchsorted = skip pointer)
-        self.pos += int(np.searchsorted(self.docs[self.pos:], target, side="left"))
+        """Jump to the first posting with doc ≥ target: block skip via
+        block_last_doc, then searchsorted inside the single decoded block."""
+        if self.pos >= self.n:
+            return
+        nb = int(np.searchsorted(self.block_last, target, side="left"))
+        nb = max(nb, self.pos // 128)
+        if nb >= len(self.block_last):
+            self.pos = self.n
+            return
+        if nb != self.blk:
+            self._load(nb)
+        i = int(np.searchsorted(self.blk_docs, target, side="left"))
+        self.pos = max(self.pos, 128 * nb + i)
 
     def block_ub(self):
         """Upper-bound score of the block containing the current posting."""
@@ -215,8 +269,10 @@ class _TermCursor:
         return self.block_max[min(b, len(self.block_max) - 1)]
 
     def score_cur(self, avgdl):
-        tf = float(self.tfs[self.pos])
-        dl = float(self.dls[self.pos])
+        b = self._ensure()
+        i = self.pos - 128 * b
+        tf = float(self.blk_tfs[i])
+        dl = float(self.blk_dls[i])
         return self.idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
 
@@ -329,16 +385,15 @@ def bm25_topk_wand(
         dl_vals = varbyte_decode(bytes(dl_rows["tf_blob"].iloc[0])).astype(np.int64)
         cursors = []
         for _, row in term_rows.iterrows():
-            docs = np.cumsum(varbyte_decode(bytes(row["doc_blob"]))).astype(np.int64)
-            tfs = varbyte_decode(bytes(row["tf_blob"])).astype(np.int64)
-            dls = dl_vals[np.searchsorted(dl_docs, docs)]
             idf = idfs[row["term"]]
             # block upper bounds from avgdl-independent (max_tf, min_dl)
             bmax = block_upper_bound(
                 row["block_max_tf"], row["block_min_dl"], avgdl
             ) * idf
-            blast = np.asarray(row["block_last_doc"], dtype=np.int64)
-            cursors.append(_TermCursor(docs, tfs, dls, idf, blast, bmax))
+            cursors.append(_TermCursor(
+                bytes(row["doc_blob"]), bytes(row["tf_blob"]),
+                dl_docs, dl_vals, idf, row["block_last_doc"], bmax,
+            ))
         if mode == "and" and len(cursors) < len(idfs):
             return empty
         res = _wand_segment(cursors, k, avgdl, mode)

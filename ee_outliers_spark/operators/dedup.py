@@ -79,22 +79,26 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over distinct token k-grams, computed via a shingle
     inverted index (docs sharing no shingle are never paired).
 
-    ``max_shingle_df`` drops head shingles appearing in more docs than the cap
-    *from pair generation only* (exactness of the Jaccard denominator is kept
-    via per-doc shingle counts). Pass None to disable (exactness of recall
-    guaranteed, quadratic risk accepted — fine under the threshold≥0.5 regime
-    where near-dup docs share rare shingles too).
+    ``max_shingle_df`` removes head shingles appearing in more docs than the
+    cap from the shingle sets ENTIRELY — numerator and denominator — so the
+    result is the exact Jaccard of the stop-shingle-filtered sets (the same
+    move as stopword removal; an inconsistent cap that only skipped pair
+    generation would silently underestimate every pair's similarity). This
+    defuses the quadratic head-shingle blowup: no shingle joins more than
+    ``max_shingle_df`` docs. Pass None to disable (exact raw-set Jaccard,
+    quadratic risk accepted).
     """
     sh = df.select(
         F.col(id_col).alias("_id"), shingles_col(text_col, k).alias("sh")
     ).where(F.size("sh") > 0)
-    sizes = sh.select("_id", F.size("sh").alias("n"))
     inv = sh.select("_id", F.explode("sh").alias("g"))
     if max_shingle_df is not None:
         good = inv.groupBy("g").agg(F.count("*").alias("df_")).where(
             F.col("df_") <= max_shingle_df
         )
         inv = inv.join(good.select("g"), "g")
+    # sizes AFTER the cap: |filtered set|, consistent with the intersection
+    sizes = inv.groupBy("_id").agg(F.count("*").alias("n"))
     a = inv.alias("a")
     b = inv.alias("b")
     shared = (
@@ -118,17 +122,49 @@ def ngram_jaccard_pairs(
 
 # --- MinHash + LSH --------------------------------------------------------------
 
+#: universal-hash modulus (2^31 − 1, prime): products a·h stay < 2^62 so the
+#: whole signature pipeline is exact int64 arithmetic in ANY engine — the
+#: same numbers fall out of Spark, DuckDB and Python, which is what makes the
+#: MinHash gate hard-oracled instead of "trust me"
+MINHASH_P = 2147483647
+
+
+def _minhash_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Seeded (a, b) pairs for h_i(x) = (a·x + b) mod P (Broder's MinHash
+    with universal hashing instead of true permutations)."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+            for _ in range(num_perm)]
+
+
+def md5_long_expr(col):
+    """60-bit integer from the first 15 hex chars of md5 — reproducible
+    everywhere (Spark conv / DuckDB '0x' cast / Python int(h[:15], 16))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_perm: int = 64
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_perm: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
     """(id, sig array<long>) — per permutation i, min over shingles of
-    xxhash64(shingle, seed=i). Entirely JVM-side: explode + 64 min-aggs with
-    map-side partial aggregation (one shuffle, vocabulary-free)."""
+    (aᵢ·md5₆₀(shingle) + bᵢ) mod P. Entirely JVM-side: explode + num_perm
+    min-aggs with map-side partial aggregation (one shuffle,
+    vocabulary-free); ONE md5 per shingle, the permutations are arithmetic."""
+    coeffs = _minhash_coeffs(num_perm, seed)
     sh = df.select(
         F.col(id_col).alias("_id"), F.explode(shingles_col(text_col, k)).alias("g")
     )
+    h = md5_long_expr(F.col("g")) % MINHASH_P
     mins = sh.groupBy("_id").agg(
-        *[F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+        *[F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+          for i, (a, b) in enumerate(coeffs)]
     )
     return mins.select(
         F.col("_id").alias(id_col),
@@ -144,22 +180,20 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    seed: int = 42,
 ) -> DataFrame:
     """Candidate pairs via LSH banding + estimated Jaccard from signature
     agreement. (id1, id2, est_jaccard). Scale: the self-join key is
-    (band, band-hash) — collisions only for near-dups, so the join output is
+    (band, band-key) — collisions only for near-dups, so the join output is
     ~linear in true near-dup pairs."""
     assert num_perm % bands == 0
     rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_perm)
+    sig = minhash_signatures(df, id_col, text_col, k, num_perm, seed)
     band_arr = F.array(
         *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",", *[F.element_at("sig", b * rows + r + 1).cast("string")
-                           for r in range(rows)]
-                ),
-                F.lit(1000 + b),
+            F.concat_ws(
+                ",", *[F.element_at("sig", b * rows + r + 1).cast("string")
+                       for r in range(rows)]
             )
             for b in range(bands)
         ]
@@ -197,16 +231,21 @@ def minhash_lsh_pairs(
 
 # --- SimHash ---------------------------------------------------------------------
 
+SIMHASH_BITS = 60  # 15 md5 hex chars → nonneg int64 everywhere (SQL-safe)
+
+
 def _simhash_tokens(tokens: list[str] | np.ndarray) -> int:
-    """64-bit SimHash with md5-derived token hashes (platform-stable)."""
-    votes = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
+    """60-bit SimHash with md5-derived token hashes (platform-stable;
+    60 bits = first 15 hex chars, so the fingerprint is reproducible as a
+    plain BIGINT in any SQL engine — the DuckDB oracle recomputes it)."""
+    votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
     for t in tokens:
-        h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
         bits = (np.uint64(h) >> shifts) & np.uint64(1)
         votes += np.where(bits == 1, 1, -1)
-    fp = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-    return fp - (1 << 64) if fp >= (1 << 63) else fp  # two's-complement int64
+    return int(((votes > 0).astype(np.uint64)
+                << np.arange(SIMHASH_BITS, dtype=np.uint64)).sum())
 
 
 @F.pandas_udf(LongType())
@@ -215,19 +254,26 @@ def _simhash_udf(tokens: pd.Series) -> pd.Series:
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash long). Narrow map — Arrow batches, no shuffle."""
+    """(id, simhash long) for docs with ≥1 token (tokenless docs are exact
+    dupes of each other — exact_dedup territory, not SimHash's).
+    Narrow map — Arrow batches, no shuffle."""
     return df.select(
         F.col(id_col),
-        _simhash_udf(tokens_col(text_col)).alias("simhash"),
+        tokens_col(text_col).alias("_toks"),
+    ).where(F.size("_toks") > 0).select(
+        F.col(id_col),
+        _simhash_udf(F.col("_toks")).alias("simhash"),
     )
 
 
 def simhash_neardup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ d, using 4×16-bit chunk
-    banding (pigeonhole: distance ≤3 ⇒ some 16-bit chunk equal) — the
-    standard scalable SimHash join, never all-pairs."""
+    """Near-dup pairs by SimHash Hamming distance ≤ d, using 4×15-bit chunk
+    banding (pigeonhole: distance ≤3 ⇒ some 15-bit chunk equal) — the
+    standard scalable SimHash join, never all-pairs. Banding is EXACT for
+    max_hamming ≤ 3: the output equals the all-pairs Hamming filter (which
+    is what the DuckDB oracle computes)."""
     fps = simhash(df, id_col, text_col).select(
         F.col(id_col).alias("_id"), "simhash"
     )
@@ -235,7 +281,7 @@ def simhash_neardup_pairs(
         "_id", "simhash",
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(F.col("simhash"), 15 * c).bitwiseAND(F.lit(0x7FFF))
                 for c in range(4)
             ])
         ).alias("chunk_no", "chunk"),

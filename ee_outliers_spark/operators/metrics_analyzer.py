@@ -23,18 +23,29 @@ from pyspark.sql import functions as F
 
 from ..functions.metrics import metric_column
 from .frontier import flag_outliers
-from .terms import aggregator_col
+from .terms import aggregator_col, expand_multivalued
 from .whitelist import value_set_col, whitelist_predicate
 
 
 def metrics_values(
-    df: DataFrame, groups: list[str], target: str, metric: str
+    df: DataFrame, groups: list[str], target: str, metric: str,
+    with_observations: bool = True,
 ) -> DataFrame:
-    """rows + aggregator + metric_value (None-metric rows dropped, ref F8)."""
-    base = df.dropna(subset=[*groups, target])
+    """rows + aggregator + metric_value (None-metric rows dropped, ref F8);
+    hex/base64/url metrics also carry the matched/decoded words as an
+    ``observation`` column (ref T3, metrics.py:427-485)."""
+    from ..functions.metrics import OBSERVATIONS, observation_column
+
+    base = expand_multivalued(df, [*groups, target]).dropna(
+        subset=[*groups, target])
     base = base.withColumn("aggregator", aggregator_col(groups)).withColumn(
         "metric_value", metric_column(metric, F.col(target).cast("string"))
     )
+    if with_observations and metric in OBSERVATIONS:
+        base = base.withColumn(
+            "observation",
+            observation_column(metric, F.col(target).cast("string")),
+        )
     return base.where(F.col("metric_value").isNotNull())
 
 

@@ -3,17 +3,24 @@
 - ``cosine_topk``      — brute-force exact top-k: JVM-side zip_with/aggregate
                          dot product (whole-stage codegen, no Python), then
                          TakeOrdered. The correctness baseline.
-- ``lsh_topk``         — random-hyperplane LSH: deterministic seeded planes,
-                         sign-bit bucket codes, multi-probe candidate set
-                         (Hamming ≤ r on the code), exact rerank inside the
-                         candidate set. The 10^12-row path: the scan prunes
-                         to matching buckets before any dot product.
+- ``build_lsh_index`` / ``lsh_topk_indexed`` — random-hyperplane LSH as a
+  REAL index: per-table sign-bit codes are materialized ONCE at ingest into
+  a (t, code, id) parquet table partitioned by table id and sorted by code;
+  at query time the driver enumerates the probe codes (Hamming ≤ r around
+  the query's code per table, a few hundred longs), broadcast-joins them
+  against the index — parquet reads only the probed buckets via partition +
+  row-group pruning — and the exact cosine rerank touches only the candidate
+  ids. Candidates ≪ corpus is the whole point; ``lsh_candidates`` exposes
+  the candidate set so benchmarks can report the pruning ratio.
 """
 
 from __future__ import annotations
 
+from itertools import combinations
+
 import numpy as np
-from pyspark.sql import DataFrame
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -49,55 +56,134 @@ def cosine_topk(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
-# --- random-hyperplane LSH ------------------------------------------------------
+# --- random-hyperplane LSH (indexed) --------------------------------------------
 
 def _planes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_bits, dim))
 
 
-def lsh_code_col(vec_col, planes: np.ndarray):
-    """Bit code: sign of <v, plane_i> per plane, packed into a long —
-    pure column expressions (codegen), planes inlined as literals."""
-    v = _as_double(vec_col if not isinstance(vec_col, str) else F.col(vec_col))
-    code = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plit = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(_dot(v, plit) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        code = code + F.shiftleft(bit, i)
-    return code
+def _all_planes(dim: int, n_bits: int, n_tables: int, seed: int) -> np.ndarray:
+    """(n_tables, n_bits, dim) — per-table planes, deterministic per seed."""
+    return np.stack([_planes(dim, n_bits, seed + 1000 * t)
+                     for t in range(n_tables)])
 
 
-def lsh_topk(
+def _pack_codes(signs: np.ndarray) -> np.ndarray:
+    """(n, n_tables, n_bits) bool → (n, n_tables) int64 bucket codes."""
+    weights = (np.int64(1) << np.arange(signs.shape[-1], dtype=np.int64))
+    return signs.astype(np.int64) @ weights
+
+
+def build_lsh_index(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    query: list[float],
-    k: int,
-    n_bits: int = 8,
-    probe_hamming: int = 1,
+    out_dir: str,
+    dim: int,
+    n_bits: int = 16,
     n_tables: int = 16,
     seed: int = 42,
-) -> DataFrame:
-    """Approximate top-k, multi-table random-hyperplane LSH: L independent
-    tables of n_bits planes each; a row is a candidate if ANY table's code is
-    within ``probe_hamming`` bits of the query's code in that table; exact
-    cosine rerank inside the candidate set.
+) -> None:
+    """Materialize the LSH index ONCE at ingest: (t, code, id) parquet,
+    partitioned by table id and sorted by code so a probe reads only its
+    bucket's row groups. One Arrow pass computes all n_tables codes per row
+    (a single (n, dim) × (dim, n_tables·n_bits) matmul per batch — never
+    per-row Python, never array-HOF lambdas)."""
+    planes = _all_planes(dim, n_bits, n_tables, seed)
+    flat = planes.reshape(n_tables * n_bits, dim)
 
-    At scale each table's code is a persisted/bucketed column and the
-    candidate filter prunes the scan to matching buckets (multi-probe keeps
-    the table count low); here codes are computed inline. Recall/cost knob:
-    more tables or a larger probe radius → higher recall, more candidates."""
+    @F.pandas_udf("array<long>")
+    def codes_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) if v is not None
+             else np.zeros(dim) for v in vecs]
+        )
+        signs = (mat @ flat.T >= 0).reshape(len(mat), n_tables, n_bits)
+        return pd.Series(list(_pack_codes(signs)))
+
+    coded = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(codes_udf(F.col(vec_col))).alias("t", "code"),
+    )
+    (
+        coded.repartition("t")
+        .sortWithinPartitions("code")
+        .write.mode("overwrite")
+        .partitionBy("t")
+        .parquet(out_dir)
+    )
+
+
+def lsh_probe_codes(
+    query: list[float],
+    n_bits: int = 16,
+    n_tables: int = 16,
+    probe_hamming: int = 3,
+    seed: int = 42,
+) -> list[tuple[int, int]]:
+    """Driver-side probe enumeration: for each table, the query's code plus
+    every code within Hamming ≤ r — Σ C(n_bits, i) codes per table (e.g.
+    137 for 16 bits, r=2). A few hundred (t, code) pairs total."""
     dim = len(query)
     q = np.asarray(query, dtype=np.float64)
-    cond = F.lit(False)
-    row = df
+    planes = _all_planes(dim, n_bits, n_tables, seed)
+    signs = (planes @ q >= 0)  # (n_tables, n_bits)
+    base = _pack_codes(signs[None, :, :])[0]  # (n_tables,)
+    pairs: list[tuple[int, int]] = []
     for t in range(n_tables):
-        planes = _planes(dim, n_bits, seed + 1000 * t)
-        qcode = int(((planes @ q) >= 0).astype(np.int64) @ (1 << np.arange(n_bits)))
-        code = lsh_code_col(vec_col, planes)
-        cond = cond | (
-            F.bit_count(code.bitwiseXOR(F.lit(qcode))) <= probe_hamming
-        )
-    cands = row.where(cond)
-    return cosine_topk(cands, id_col, vec_col, query, k)
+        code = int(base[t])
+        pairs.append((t, code))
+        for r in range(1, probe_hamming + 1):
+            for bits in combinations(range(n_bits), r):
+                flip = 0
+                for b in bits:
+                    flip |= 1 << b
+                pairs.append((t, code ^ flip))
+    return pairs
+
+
+def lsh_candidates(
+    spark: SparkSession,
+    index_dir: str,
+    query: list[float],
+    n_bits: int = 16,
+    n_tables: int = 16,
+    probe_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Distinct candidate ids from the probed buckets. The probe set is
+    broadcast; the index scan prunes to the probed table partitions and,
+    within them, to row groups whose code range intersects the probes."""
+    pairs = lsh_probe_codes(query, n_bits, n_tables, probe_hamming, seed)
+    probes = spark.createDataFrame(pairs, "t int, code long")
+    idx = spark.read.parquet(index_dir)
+    return (
+        idx.join(F.broadcast(probes), ["t", "code"])
+        .select("id")
+        .distinct()
+    )
+
+
+def lsh_topk_indexed(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    query: list[float],
+    k: int,
+    n_bits: int = 16,
+    n_tables: int = 16,
+    probe_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe the persisted LSH buckets, exact-cosine
+    rerank ONLY the candidates. Recall/cost knobs: tables × probe radius."""
+    cands = lsh_candidates(
+        spark, index_dir, query, n_bits, n_tables, probe_hamming, seed
+    ).withColumnRenamed("id", "__cand_id")
+    pruned = df.join(
+        cands, df[id_col].cast("long") == F.col("__cand_id"), "leftsemi"
+    )
+    return cosine_topk(pruned, id_col, vec_col, query, k)

@@ -12,6 +12,8 @@ Highlight (F9, es.py:567-587) returns matched term positions; see
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -72,3 +74,39 @@ def highlight_terms(query_string: str, text_col: str = "text") -> Column:
         return F.array().cast("array<string>")
     arr = F.array(*frags)
     return F.filter(arr, lambda v: v.isNotNull())
+
+
+def wrap_regex(tokens: list[str]) -> str:
+    """Token-boundary match regex WITHOUT lookarounds (RE2-compatible, so
+    the DuckDB oracle can run the identical pattern): group 1 = leading
+    boundary, group 2 = the matched value, group 3 = trailing boundary."""
+    body = "[^a-zA-Z0-9]+".join(_re.escape(t) for t in tokens)
+    return f"(^|[^a-zA-Z0-9])({body})($|[^a-zA-Z0-9])"
+
+
+def highlight_fragment(query_string: str, text_col: str = "text") -> Column:
+    """ES-style highlight fragment: the field value with every positive
+    query term/phrase occurrence wrapped in ``<value>…</value>`` (the
+    reference requests exactly these pre/post tags — es.py:567-587).
+    Case-insensitive, token-boundary anchored like the tokenizer."""
+    node = parse_query_string(query_string)
+    terms, phrases = collect_text_terms(node)
+    col = F.col(text_col)
+    for p in dict.fromkeys(phrases):
+        toks = tokenize_py(p)
+        if toks:
+            col = F.regexp_replace(
+                col, "(?i)" + wrap_regex(toks), "$1<value>$2</value>$3"
+            )
+    for t in dict.fromkeys(terms):
+        col = F.regexp_replace(
+            col, "(?i)" + wrap_regex([t]), "$1<value>$2</value>$3"
+        )
+    return col
+
+
+def extract_matched_values(fragment_col) -> Column:
+    """Values between ``<value>`` tags — parity with the reference's
+    extraction regex (app/analyzers/simplequery.py:83-93)."""
+    c = fragment_col if isinstance(fragment_col, Column) else F.col(fragment_col)
+    return F.regexp_extract_all(c, F.lit("(?s)<value>(.*?)</value>"), 1)

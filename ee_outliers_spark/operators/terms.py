@@ -38,12 +38,71 @@ def aggregator_col(groups: list[str]) -> Column:
     return F.concat_ws(AGG_SEP, *[F.col(g).cast("string") for g in groups])
 
 
+def expand_multivalued(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Cartesian sentence expansion for array-typed fields (ref X11,
+    app/helpers/utils.py:192-230 flatten_fields_into_sentences): a doc whose
+    aggregator/target field holds N values contributes N rows per other
+    field's value — explode per array column = the cartesian product. Docs
+    with an empty array produce no sentences, like the reference."""
+    from pyspark.sql.types import ArrayType
+
+    out = df
+    names = set(out.schema.fieldNames())
+    for c in cols:
+        if c in names and isinstance(out.schema[c].dataType, ArrayType):
+            out = out.withColumn(c, F.explode(c))
+    return out
+
+
 def _prepare(df: DataFrame, groups: list[str], target: str) -> DataFrame:
     """Client-side existence skip (ref F8 terms.py:112-120): drop rows missing
-    aggregator or target fields."""
-    out = df.dropna(subset=[*groups, target])
+    aggregator or target fields; array-typed fields expand to sentences."""
+    out = expand_multivalued(df, [*groups, target])
+    out = out.dropna(subset=[*groups, target])
     return out.withColumn("aggregator", aggregator_col(groups)).withColumn(
         "target", F.col(target).cast("string")
+    )
+
+
+def _cap_buckets(counts: DataFrame, max_num_aggregators: int | None,
+                 max_num_targets: int | None, count_col: str) -> DataFrame:
+    """Terms-agg bucket caps (ref T2, es.py:755,762: ES truncates to the
+    `size:` largest buckets; defaults 100k). Exact groupBy needs no cap for
+    correctness — these reproduce the reference's truncation when a config
+    relies on it. None = exact (the default and the recommended mode)."""
+    from pyspark.sql.window import Window
+
+    out = counts
+    if max_num_targets is not None and "target" in out.columns:
+        w = Window.partitionBy("aggregator").orderBy(
+            F.desc(count_col), F.asc("target"))
+        out = out.withColumn("_rk", F.row_number().over(w)).where(
+            F.col("_rk") <= max_num_targets).drop("_rk")
+    if max_num_aggregators is not None:
+        top = (
+            out.groupBy("aggregator")
+            .agg(F.sum(count_col).alias("_tot"))
+            .orderBy(F.desc("_tot"), F.asc("aggregator"))
+            .limit(max_num_aggregators)
+            .select("aggregator")
+        )
+        out = out.join(F.broadcast(top), "aggregator", "left_semi")
+    return out
+
+
+def _non_outlier_samples(flagged: DataFrame) -> DataFrame:
+    """≤3 non-outlier target values per aggregator, recorded as an
+    observation (ref A10, terms.py:432-438 uses random.sample — here the
+    sample is the 3 smallest distinct values: deterministic, documented
+    divergence)."""
+    return (
+        flagged.where(~F.col("is_outlier"))
+        .groupBy("aggregator")
+        .agg(
+            F.concat_ws(
+                ",", F.slice(F.sort_array(F.collect_set("target")), 1, 3)
+            ).alias("non_outlier_values_sample")
+        )
     )
 
 
@@ -55,12 +114,17 @@ def terms_within(
     trigger_sensitivity: float,
     trigger_on: str,
     min_target_buckets: int | None = None,
+    max_num_aggregators: int | None = None,
+    max_num_targets: int | None = None,
 ) -> DataFrame:
-    """One pass (no whitelist): rows + term_count/decision_frontier/is_outlier."""
+    """One pass (no whitelist): rows + term_count/decision_frontier/
+    is_outlier/non_outlier_values_sample."""
     base = _prepare(df, groups, target)
     counts = base.groupBy("aggregator", "target").agg(
         F.count("*").cast("long").alias("term_count")
     )
+    counts = _cap_buckets(counts, max_num_aggregators, max_num_targets,
+                          "term_count")
     if min_target_buckets:
         ok = counts.groupBy("aggregator").agg(
             F.count("*").alias("_nb")
@@ -70,12 +134,13 @@ def terms_within(
         counts, ["aggregator"], "term_count",
         trigger_method, trigger_sensitivity, trigger_on,
     )
+    samples = _non_outlier_samples(flagged)
     return base.join(
         flagged.select("aggregator", "target", "term_count", "decision_frontier",
                        "is_outlier"),
         ["aggregator", "target"],
         "inner",
-    )
+    ).join(samples, "aggregator", "left")
 
 
 def terms_across(
@@ -85,6 +150,7 @@ def terms_across(
     trigger_method: str,
     trigger_sensitivity: float,
     trigger_on: str,
+    max_num_aggregators: int | None = None,
 ) -> DataFrame:
     """One pass: rows + unique_target_count/decision_frontier/is_outlier.
     The frontier is GLOBAL (one per window), computed over per-aggregator
@@ -93,6 +159,8 @@ def terms_across(
     counts = base.groupBy("aggregator").agg(
         F.countDistinct("target").cast("long").alias("unique_target_count")
     )
+    counts = _cap_buckets(counts, max_num_aggregators, None,
+                          "unique_target_count")
     flagged = flag_outliers(
         counts, [], "unique_target_count",
         trigger_method, trigger_sensitivity, trigger_on,

@@ -48,11 +48,14 @@ def whitelist_predicate(
         for lit_ in entry:
             cond = cond & F.array_contains(values_col, lit_)
         pred = pred | cond
+    def _rx_exists(pattern: str):
+        # NB: close over the pattern via factory — a default-arg lambda has
+        # arity 2 and Spark would bind it as the (value, index) HOF variant
+        return F.exists(values_col, lambda v: v.rlike(pattern))
+
     for entry in regexps or []:
         cond = F.lit(True)
         for rx in entry:
-            cond = cond & F.exists(
-                values_col, lambda v, rx=rx: v.rlike(f"(?i)^(?:{rx})$")
-            )
+            cond = cond & _rx_exists(f"(?i)^(?:{rx})$")
         pred = pred | cond
     return pred

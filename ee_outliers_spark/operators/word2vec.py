@@ -67,18 +67,26 @@ def vocabulary(
 
 
 def skipgram_pairs(toks_voc: DataFrame, window: int) -> DataFrame:
-    """(aggregator, text_id, center_pos, center, ctx) via bounded self-join
-    on token positions."""
+    """(aggregator, text_id, i, center, j, ctx): each center explodes its 2w
+    context OFFSETS and equi-joins on (aggregator, text_id, pos + offset) —
+    LINEAR in tokens (2w rows per token). The naive formulation (self-join
+    keyed on text_id with |i−j| ≤ w applied post-join) materializes len²
+    rows per document before filtering: a 5k-token web page would emit 25M
+    intermediate rows; this one emits 20k at w=2."""
+    offsets = F.array(
+        *[F.lit(o) for o in range(-window, window + 1) if o != 0]
+    )
     a = toks_voc.select(
         "aggregator", "text_id",
         F.col("pos").alias("i"), F.col("voc_word").alias("center"),
-    )
+        F.explode(offsets).alias("off"),
+    ).withColumn("j", F.col("i") + F.col("off")).drop("off")
     b = toks_voc.select(
         "aggregator", "text_id",
         F.col("pos").alias("j"), F.col("voc_word").alias("ctx"),
     )
-    return a.join(b, ["aggregator", "text_id"]).where(
-        (F.abs(F.col("i") - F.col("j")) <= window) & (F.col("i") != F.col("j"))
+    return a.join(b, ["aggregator", "text_id", "j"]).select(
+        "aggregator", "text_id", "i", "center", "j", "ctx"
     )
 
 
@@ -97,6 +105,116 @@ def prob_model(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _mean_col(col: str, geo: bool):
+    """Geometric (exp∘mean∘log) or arithmetic mean aggregate — the
+    reference's ``mean(list, use_geo_mean)`` (ml_models/word2vec.py)."""
+    return F.exp(F.avg(F.log(col))) if geo else F.avg(col)
+
+
+def _scored_pairs(
+    df: DataFrame, groups: list[str], text_id: str, text_col: str,
+    window: int, max_voc_size: int, min_voc_occurrence: int,
+) -> DataFrame:
+    toks = tokens_positions(df, groups, text_id, text_col)
+    voc = vocabulary(toks, max_voc_size, min_voc_occurrence)
+    toks_voc = toks.join(voc, ["aggregator", "word"]).select(
+        "aggregator", "text_id", "pos", "voc_word"
+    )
+    pairs = skipgram_pairs(toks_voc, window)
+    model = prob_model(pairs)
+    return pairs.join(model, ["aggregator", "center", "ctx"])
+
+
+def occurrence_scores(scored: DataFrame, use_geo_mean: bool = False) -> DataFrame:
+    """Per word OCCURRENCE (aggregator, text_id, pos): center / context /
+    total scores (ref A13 trigger_score semantics, word2vec.py:552-586):
+    center = mean of P(ctx|this word) where this word is the center;
+    context = mean of P(this word|center) where this word is the context;
+    total = mean(center, context)."""
+    center = scored.groupBy(
+        "aggregator", "text_id", F.col("i").alias("pos"),
+        F.col("center").alias("word"),
+    ).agg(_mean_col("p", use_geo_mean).alias("center_score"))
+    ctx = scored.groupBy(
+        "aggregator", "text_id", F.col("j").alias("pos"),
+        F.col("ctx").alias("word"),
+    ).agg(_mean_col("p", use_geo_mean).alias("context_score"))
+    occ = center.join(ctx, ["aggregator", "text_id", "pos", "word"], "outer")
+    total = (
+        F.exp((F.log("center_score") + F.log("context_score")) / 2.0)
+        if use_geo_mean
+        else (F.col("center_score") + F.col("context_score")) / 2.0
+    )
+    return occ.withColumn(
+        "total_score",
+        F.when(
+            F.col("center_score").isNotNull()
+            & F.col("context_score").isNotNull(), total
+        ).otherwise(F.coalesce("center_score", "context_score")),
+    )
+
+
+def word2vec_scores(
+    df: DataFrame,
+    groups: list[str],
+    text_id: str,
+    text_col: str,
+    window: int = 2,
+    max_voc_size: int = 6000,
+    min_voc_occurrence: int = 1,
+    trigger_score: str = "center",
+    use_geo_mean: bool = True,
+) -> DataFrame:
+    """(aggregator, text_id, score) for every trigger_score variant the
+    reference accepts (word2vec.py:113-118): center / context / total =
+    per-text mean over the occurrence scores of that type; mean = per-text
+    mean over ALL raw pair probabilities."""
+    if trigger_score not in {"center", "context", "total", "mean"}:
+        raise ValueError(f"unexpected trigger_score {trigger_score!r}")
+    scored = _scored_pairs(df, groups, text_id, text_col, window,
+                           max_voc_size, min_voc_occurrence)
+    if trigger_score == "mean":
+        return scored.groupBy("aggregator", "text_id").agg(
+            _mean_col("p", use_geo_mean).alias("score")
+        )
+    occ = occurrence_scores(scored, use_geo_mean)
+    return occ.groupBy("aggregator", "text_id").agg(
+        _mean_col(f"{trigger_score}_score", use_geo_mean).alias("score")
+    )
+
+
+def word_level_outliers(
+    df: DataFrame,
+    groups: list[str],
+    text_id: str,
+    text_col: str,
+    trigger_method: str = "stdev",
+    trigger_sensitivity: float = 1.0,
+    trigger_on: str = "low",
+    trigger_score: str = "center",
+    window: int = 2,
+    max_voc_size: int = 6000,
+    min_voc_occurrence: int = 1,
+    use_geo_mean: bool = False,
+) -> DataFrame:
+    """trigger_focus='word' (ref word2vec.py:369-376): the decision frontier
+    is computed PER WORD over that word's occurrence scores across the
+    aggregator; flagged occurrences mark their (text_id, pos, word)."""
+    if trigger_score == "mean":
+        raise ValueError("trigger_focus=word is incompatible with "
+                         "trigger_score=mean (ref word2vec.py:117-118)")
+    scored = _scored_pairs(df, groups, text_id, text_col, window,
+                           max_voc_size, min_voc_occurrence)
+    occ = occurrence_scores(scored, use_geo_mean).withColumn(
+        "score", F.col(f"{trigger_score}_score")
+    ).where(F.col("score").isNotNull())
+    flagged = flag_outliers(
+        occ, ["aggregator", "word"], "score",
+        trigger_method, trigger_sensitivity, trigger_on,
+    )
+    return flagged.where("is_outlier")
+
+
 def text_scores(
     df: DataFrame,
     groups: list[str],
@@ -107,16 +225,11 @@ def text_scores(
     min_voc_occurrence: int = 1,
 ) -> DataFrame:
     """(aggregator, text_id, score): geometric mean over word-occurrence
-    scores, each the arithmetic mean of its context probabilities."""
-    toks = tokens_positions(df, groups, text_id, text_col)
-    voc = vocabulary(toks, max_voc_size, min_voc_occurrence)
-    toks_voc = toks.join(voc, ["aggregator", "word"]).select(
-        "aggregator", "text_id", "pos", "voc_word"
-    )
-    pairs = skipgram_pairs(toks_voc, window)
-    model = prob_model(pairs)
-    scored_pairs = pairs.join(model, ["aggregator", "center", "ctx"])
-    word_scores = scored_pairs.groupBy("aggregator", "text_id", "i").agg(
+    center scores, each the arithmetic mean of its context probabilities
+    (the reference's default shape: trigger_score=center, geo text mean)."""
+    scored = _scored_pairs(df, groups, text_id, text_col, window,
+                           max_voc_size, min_voc_occurrence)
+    word_scores = scored.groupBy("aggregator", "text_id", "i").agg(
         F.avg("p").alias("word_score")
     )
     return word_scores.groupBy("aggregator", "text_id").agg(

@@ -297,12 +297,26 @@ def _sql_lit(v: str) -> str:
 
 
 def _resolve_field(field: str, columns: list[str]) -> str:
-    """Case-insensitive resolution; `.keyword` suffix stripped (ref X8)."""
+    """Case-insensitive resolution; `.keyword` suffix stripped (ref X8).
+    ``columns`` may contain dotted struct-leaf paths (functions/nested.py
+    ``flatten_schema_paths``) — matched case-insensitively path-wise, so
+    nested fields resolve like the reference's get_dotkey_value
+    (app/helpers/utils.py:47-76)."""
     base = field[: -len(".keyword")] if field.endswith(".keyword") else field
     for c in columns:
         if c.lower() == base.lower():
             return c
     raise KeyError(f"field {field!r} not in schema {columns}")
+
+
+def _rowget(row, dotted: str):
+    """Row access for the Python oracle — dotted paths dig into nested
+    dicts/Rows."""
+    if "." not in dotted:
+        return row.get(dotted)
+    from .functions.nested import dig
+
+    return dig(row, dotted)
 
 
 def _term_regex(term: str) -> str:
@@ -425,11 +439,11 @@ def to_python_predicate(node, text_col: str, columns: list[str]):
         c = _resolve_field(node.field, columns)
         if _NUM_RE.match(node.value):
             want = float(node.value)
-            return lambda row: row.get(c) is not None and float(row[c]) == want
-        return lambda row: row.get(c) == node.value
+            return lambda row: _rowget(row, c) is not None and float(_rowget(row, c)) == want
+        return lambda row: _rowget(row, c) == node.value
     if isinstance(node, Exists):
         c = _resolve_field(node.field, columns)
-        return lambda row: row.get(c) is not None
+        return lambda row: _rowget(row, c) is not None
     if isinstance(node, FieldRange):
         c = _resolve_field(node.field, columns)
         lo, hi = node.lo, node.hi
@@ -449,7 +463,7 @@ def to_python_predicate(node, text_col: str, columns: list[str]):
             return str(rowv), bound
 
         def check(row):
-            v = row.get(c)
+            v = _rowget(row, c)
             if v is None:
                 return False
             if lo is not None:

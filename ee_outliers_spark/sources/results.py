@@ -61,10 +61,12 @@ class OutlierStore:
         if self._exists():
             existing = self.read().select("doc_key", "model_name")
             new = new.join(existing, ["doc_key", "model_name"], "left_anti")
-        # deterministic, idempotent append
+        # persist so the count and the append share ONE anti-join computation
+        new = new.persist()
         n = new.count()
         if n:
             new.write.mode("append").parquet(self.path)
+        new.unpersist()
         return n
 
     def wipe_model(self, model_name: str) -> None:

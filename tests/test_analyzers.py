@@ -59,6 +59,47 @@ def test_terms_min_target_buckets(spark):
     assert {r["grp"] for r in out.collect()} == {"A"}
 
 
+def test_terms_non_outlier_sample_observation(spark):
+    """Ref A10: ≤3 non-outlier target values recorded per aggregator
+    (deterministic 3-smallest divergence, documented)."""
+    rows = [("A", t) for t in
+            ["x", "y", "w", "v", "z", "z", "z", "z", "z"]]
+    df = spark.createDataFrame(rows, "grp string, tgt string")
+    out = terms_outliers(df, ["grp"], "tgt", "within_aggregator",
+                         "float", 3.0, "high")
+    samples = {r["non_outlier_values_sample"] for r in out.collect()}
+    assert samples == {"v,w,x"}  # 3 smallest of {x,y,w,v}
+
+
+def test_terms_bucket_caps(spark):
+    """Ref T2 parity: max_num_targets keeps only the N largest target
+    buckets per aggregator before the frontier."""
+    from ee_outliers_spark.operators.terms import terms_within
+
+    rows = (["A"] * 5 + ["A"] * 3 + ["A"] * 1)
+    tgts = ["z"] * 5 + ["y"] * 3 + ["x"] * 1
+    df = spark.createDataFrame(list(zip(rows, tgts)), "grp string, tgt string")
+    capped = terms_within(df, ["grp"], "tgt", "float", 0.5, "high",
+                          max_num_targets=2)
+    # x's bucket is truncated away entirely (docs with x don't even join)
+    assert {r["tgt"] for r in capped.collect()} == {"z", "y"}
+
+
+def test_metrics_decoded_word_observation(spark):
+    from ee_outliers_spark.operators.metrics_analyzer import metrics_values
+
+    df = spark.createDataFrame(
+        [(1, "g", "payload aGVsbG8gd29ybGQh and 48656c6c6f20576f726c6421ff"),
+         (2, "g", "plain words only")],
+        "doc_id long, grp string, txt string",
+    )
+    b64 = metrics_values(df, ["grp"], "txt", "base64_encoded_length").collect()
+    assert {r["doc_id"]: r["observation"] for r in b64} == {1: "hello world!"}
+    hexv = metrics_values(df, ["grp"], "txt", "hex_encoded_length").collect()
+    assert {r["doc_id"]: r["observation"] for r in hexv} == {
+        1: "48656c6c6f20576f726c6421ff"}
+
+
 def test_metrics_length_float(spark):
     rows = [("g", "aa"), ("g", "bbb"), ("g", "cccccccc"), ("h", "dd")]
     df = spark.createDataFrame(rows, "grp string, val string")
@@ -101,6 +142,34 @@ def test_highlight(spark):
     }
     assert got[1] == ["powershell", "hidden window"]
     assert got[2] == []
+
+
+def test_highlight_fragments_value_tags(spark):
+    """ES highlight parity: matches wrapped <value>…</value> in the original
+    field value; extraction regex recovers the matched values
+    (ref es.py:567-587, simplequery.py:83-93)."""
+    from ee_outliers_spark.operators.simplequery import (
+        extract_matched_values, highlight_fragment,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "PowerShell spawned a Hidden Window now"),
+         (2, "nothing to see")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["frag"], list(r["vals"]))
+        for r in df.select(
+            "doc_id",
+            highlight_fragment('powershell AND "hidden window"').alias("frag"),
+        ).select(
+            "doc_id", "frag", extract_matched_values("frag").alias("vals")
+        ).collect()
+    }
+    assert got[1][0] == ("<value>PowerShell</value> spawned a "
+                         "<value>Hidden Window</value> now")
+    assert got[1][1] == ["PowerShell", "Hidden Window"]
+    assert got[2] == ("nothing to see", [])
 
 
 def test_window_schedule_final_clamp():

@@ -80,6 +80,86 @@ def test_run_analyzer_simplequery_render(spark):
     assert rows[0]["model_name"] == "simplequery_x"
 
 
+WL_INI = """
+[simplequery_powershell_hidden]
+es_query_filter=powershell AND "hidden window"
+outlier_summary=hidden powershell on {host}
+run_model=1
+
+[terms_rare_host_process]
+es_query_filter=_exists_:host
+aggregator=proc
+target=host
+target_count_method=across_aggregators
+trigger_on=low
+trigger_method=float
+trigger_sensitivity=2
+run_model=1
+
+[whitelist_literals]
+known_admin_host=hostA
+
+[whitelist_regexps]
+trusted_procs=^expl.*$,^hostB$
+"""
+
+
+def test_whitelists_from_ini(spark, tmp_path):
+    """Ref analyzerfactory.py:76-83: the file's whitelist sections attach to
+    every model; whitelisted flagged docs are retracted (and for terms the
+    frontier is recomputed — the fixpoint)."""
+    p = tmp_path / "wl.conf"
+    p.write_text(textwrap.dedent(WL_INI))
+    specs = load_use_cases(str(p))
+    assert all(s.whitelist_literals == [["hostA"]] for s in specs)
+    assert all(s.whitelist_regexps == [["^expl.*$", "^hostB$"]] for s in specs)
+    sq = run_analyzer(_events(spark), specs[0])
+    # doc 1 matched the query but carries hostA -> whitelisted away
+    assert sq.count() == 0
+    tm = run_analyzer(_events(spark), specs[1])
+    got = sorted(r["doc_id"] for r in tm.collect())
+    # without whitelists all 4 flagged; hostA docs (1,2) retracted by the
+    # literal, doc 3 by the regex conjunction (explorer+hostB); doc 4 stays
+    assert got == [4]
+
+
+def test_run_analyzer_word2vec(spark):
+    spec = AnalyzerSpec(
+        name="word2vec_cmdline", model_type="word2vec",
+        aggregator=["host"], target="text",
+        trigger_method="stdev", trigger_sensitivity=0.5, trigger_on="low",
+    )
+    rows = [
+        (i, "run job batch run job batch queue", "hostA", "p") for i in range(8)
+    ] + [(99, "zz yy xx ww vv uu tt", "hostA", "p")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, host string, proc string")
+    out = run_analyzer(df, spec)
+    got = [r["doc_id"] for r in out.collect()]
+    assert got == [99]
+    assert out.columns.count("doc_id") == 1
+
+
+def test_word2vec_from_ini(tmp_path):
+    p = tmp_path / "w2v.conf"
+    p.write_text(textwrap.dedent("""
+    [word2vec_text_anomaly]
+    aggregator=host
+    target=text
+    trigger_on=low
+    trigger_method=stdev
+    trigger_sensitivity=1
+    size_window=3
+    max_voc_size=100
+    min_voc_occurrence=2
+    """))
+    (spec,) = load_use_cases(str(p))
+    assert spec.model_type == "word2vec"
+    assert spec.word2vec_window == 3
+    assert spec.max_voc_size == 100
+    assert spec.min_voc_occurrence == 2
+
+
 def test_run_all_into_store(spark, tmp_path):
     p = tmp_path / "cases.conf"
     p.write_text(textwrap.dedent(INI))

@@ -87,3 +87,39 @@ def test_entropy_matches_numpy(spark):
     got = [r["m"] for r in df.select(metric_column("entropy", "v").alias("m")).collect()]
     for g, v in zip(got, vals):
         assert math.isclose(g, _entropy_oracle(v), rel_tol=1e-12)
+
+
+def test_grok_timestamp_pattern(spark):
+    """The reference's default derived-field pattern (defaults/
+    outliers.conf:150) works end-to-end through the grok expansion."""
+    from ee_outliers_spark.functions.render import derived_fields_grok
+
+    pat = ("%{YEAR:ts_year}-%{MONTHNUM:ts_month}-%{MONTHDAY:ts_day}"
+           "[T ]%{HOUR:ts_hour}:?%{MINUTE:ts_minute}"
+           "(?::?%{SECOND:ts_second})?%{ISO8601_TIMEZONE:ts_tz}?")
+    df = spark.createDataFrame(
+        [(1, "2024-03-07T08:15:59Z boot"), (2, "no timestamp here")],
+        "id long, line string",
+    )
+    out = {r["id"]: r for r in
+           derived_fields_grok(df, "line", pat).collect()}
+    assert (out[1]["ts_year"], out[1]["ts_month"], out[1]["ts_day"]) == (
+        "2024", "03", "07")
+    assert (out[1]["ts_hour"], out[1]["ts_minute"], out[1]["ts_second"],
+            out[1]["ts_tz"]) == ("08", "15", "59", "Z")
+    assert out[2]["ts_year"] is None
+
+
+def test_grok_ip_and_unknown():
+    import re as _re
+
+    import pytest as _pytest
+
+    from ee_outliers_spark.functions.render import grok_to_regex
+
+    rx, fields = grok_to_regex("src=%{IP:src_ip} user=%{USERNAME:user}")
+    assert fields == {"src_ip": 1, "user": 2}
+    m = _re.search(rx, "src=10.1.2.3 user=alice_1")
+    assert m.group(1) == "10.1.2.3" and m.group(2) == "alice_1"
+    with _pytest.raises(ValueError):
+        grok_to_regex("%{NOPE:x}")
