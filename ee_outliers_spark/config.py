@@ -52,6 +52,7 @@ class AnalyzerSpec:
     outlier_reason: str | None = None
     outlier_summary: str | None = None
     run_model: bool = True
+    highlight_match: bool = False
     # sudden_appearance extras (DDD:HH:MM in the reference; we take timedeltas)
     history_start: dt.datetime | None = None
     history_end: dt.datetime | None = None
@@ -120,6 +121,8 @@ def load_use_cases(pattern_or_paths) -> list[AnalyzerSpec]:
                 outlier_reason=sec.get("outlier_reason"),
                 outlier_summary=sec.get("outlier_summary"),
                 run_model=sec.getboolean("run_model", fallback=True),
+                highlight_match=sec.getboolean("highlight_match",
+                                               fallback=False),
                 whitelist_literals=wl_lit,
                 whitelist_regexps=wl_rx,
             )
@@ -175,6 +178,20 @@ def run_analyzer(
     if spec.model_type == "simplequery":
         out = simplequery_outliers(work, spec.es_query_filter or "*",
                                    text_col=text_col)
+        if spec.highlight_match and spec.es_query_filter:
+            # ref highlight_match (es.py:567-587 + simplequery.py:83-93):
+            # <value>-wrapped fragment + the extracted matched values
+            from .operators.simplequery import (
+                extract_matched_values, highlight_fragment,
+            )
+
+            out = out.withColumn(
+                "matched_fields",
+                highlight_fragment(spec.es_query_filter, text_col),
+            ).withColumn(
+                "matched_values",
+                F.concat_ws(",", extract_matched_values("matched_fields")),
+            )
         out = _retract_whitelisted(out, df.columns, spec)
     elif spec.model_type == "terms":
         out = terms_outliers(
@@ -275,6 +292,37 @@ def run_all(
                 "completed": True,
             })
     return results
+
+
+def run_daemon(
+    df_provider,
+    specs: list[AnalyzerSpec],
+    schedule: str = "0 0 * * *",
+    max_ticks: int | None = None,
+    store=None,
+    clock=None,
+    sleeper=None,
+    **run_kwargs,
+) -> list[dict]:
+    """Reference daemon mode (ref ST1, app/outliers.py:103-198): fire
+    run_all on each cron match. ``df_provider()`` re-reads the source each
+    tick (rolling snapshot, ST2); clock/sleeper injectable for tests.
+    Returns the collected per-model stats across ticks."""
+    import datetime as _dt
+    import time as _time
+
+    from .streaming.cron import daemon_loop
+
+    stats: list[dict] = []
+
+    def tick(fire_time):
+        run_all(df_provider(), specs, store=store, stats=stats,
+                detected_ts=fire_time, **run_kwargs)
+
+    daemon_loop(schedule, tick, max_ticks=max_ticks,
+                clock=clock or _dt.datetime.now,
+                sleeper=sleeper or _time.sleep)
+    return stats
 
 
 def analysis_summary(stats: list[dict]) -> dict:

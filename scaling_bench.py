@@ -75,6 +75,7 @@ for r in range(n_reps):
 dt = min(times)
 print(json.dumps({{"cpus": cpus, "n_docs": n, "secs": round(dt, 3),
                    "all_secs": [round(t, 3) for t in times],
+                   "mult": mult, "textrep": textrep,
                    "docs_per_sec": round(n / dt, 1)}}))
 """
 
@@ -139,6 +140,9 @@ def main() -> None:
     hi_thr = statistics.median(r["docs_per_sec"] for r in his)
     lo, hi = los[0], his[0]
     args.low, args.high = lo["cpus"], hi["cpus"]
+    # report the parameters the runs actually used (present in new JSONs)
+    args.multiplier = lo.get("mult", args.multiplier)
+    args.textrep = lo.get("textrep", args.textrep)
     ratio = hi_thr / lo_thr
     eff = ratio / (args.high / args.low)
     result = {

@@ -160,6 +160,46 @@ def test_word2vec_from_ini(tmp_path):
     assert spec.min_voc_occurrence == 2
 
 
+def test_simplequery_highlight_match(spark):
+    spec = AnalyzerSpec(
+        name="simplequery_hl", model_type="simplequery",
+        es_query_filter='powershell AND "hidden window"',
+        highlight_match=True,
+    )
+    rows = run_analyzer(_events(spark), spec).collect()
+    assert len(rows) == 1
+    assert rows[0]["matched_fields"] == (
+        "<value>powershell</value> -W <value>hidden window</value> run")
+    assert rows[0]["matched_values"] == "powershell,hidden window"
+
+
+def test_run_daemon_and_summary(spark):
+    import datetime as dtm
+
+    from ee_outliers_spark.config import analysis_summary, run_daemon
+
+    spec = AnalyzerSpec(
+        name="simplequery_ps", model_type="simplequery",
+        es_query_filter="powershell",
+    )
+    now = [dtm.datetime(2024, 1, 1, 23, 59)]
+
+    def clock():
+        return now[0]
+
+    def sleeper(secs):
+        now[0] = now[0] + dtm.timedelta(seconds=secs)
+
+    stats = run_daemon(lambda: _events(spark), [spec], schedule="0 0 * * *",
+                       max_ticks=2, clock=clock, sleeper=sleeper)
+    assert len(stats) == 2
+    assert all(s["total_outliers"] == 2 for s in stats)
+    summ = analysis_summary(stats)
+    assert summ["total_use_cases_processed"] == 2
+    assert summ["total_outliers_detected"] == 4
+    assert len(summ["most_time_consuming_use_cases_top10"]) == 2
+
+
 def test_run_all_into_store(spark, tmp_path):
     p = tmp_path / "cases.conf"
     p.write_text(textwrap.dedent(INI))

