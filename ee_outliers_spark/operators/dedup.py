@@ -56,15 +56,30 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 # --- token shingles (shared by jaccard + minhash) ------------------------------
 
-def shingles_col(text_col: str, k: int):
-    """Array of token k-grams joined by a single space — JVM-side HOFs."""
-    toks = tokens_col(text_col)
+def shingles_from_tokens(toks, k: int):
+    """Array of token k-grams joined by a single space, from an ALREADY
+    MATERIALIZED token-array column. Array HOF lambdas evaluate interpreted
+    per element, and an embedded tokenizer expression would re-run the split
+    per element_at (O(tokens²)/row — the round-1 phrase-tf trap); callers
+    must project the token array first."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     idx = F.sequence(F.lit(0), F.size(toks) - k)
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
     )
     return F.when(F.size(toks) >= k, F.array_distinct(F.transform(idx, gram))).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(_id, g) exploded distinct k-gram rows; tokens materialized in a
+    projection before the shingle HOF (see shingles_from_tokens)."""
+    return (
+        df.select(F.col(id_col).alias("_id"),
+                  tokens_col(text_col).alias("_toks"))
+        .select("_id", shingles_from_tokens("_toks", k).alias("sh"))
+        .select("_id", F.explode("sh").alias("g"))
     )
 
 
@@ -88,10 +103,7 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` docs. Pass None to disable (exact raw-set Jaccard,
     quadratic risk accepted).
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"), shingles_col(text_col, k).alias("sh")
-    ).where(F.size("sh") > 0)
-    inv = sh.select("_id", F.explode("sh").alias("g"))
+    inv = _shingle_rows(df, id_col, text_col, k)
     if max_shingle_df is not None:
         good = inv.groupBy("g").agg(F.count("*").alias("df_")).where(
             F.col("df_") <= max_shingle_df
@@ -158,12 +170,13 @@ def minhash_signatures(
     min-aggs with map-side partial aggregation (one shuffle,
     vocabulary-free); ONE md5 per shingle, the permutations are arithmetic."""
     coeffs = _minhash_coeffs(num_perm, seed)
-    sh = df.select(
-        F.col(id_col).alias("_id"), F.explode(shingles_col(text_col, k)).alias("g")
-    )
-    h = md5_long_expr(F.col("g")) % MINHASH_P
-    mins = sh.groupBy("_id").agg(
-        *[F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+    sh = _shingle_rows(df, id_col, text_col, k)
+    # materialize the base hash in a projection BEFORE the aggregation so
+    # md5 runs once per shingle row — embedding it in all num_perm agg
+    # expressions would re-evaluate it per permutation
+    hv = sh.select("_id", (md5_long_expr(F.col("g")) % MINHASH_P).alias("h"))
+    mins = hv.groupBy("_id").agg(
+        *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
           for i, (a, b) in enumerate(coeffs)]
     )
     return mins.select(
