@@ -57,28 +57,37 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 # --- token shingles (shared by jaccard + minhash) ------------------------------
 
 def shingles_from_tokens(toks, k: int):
-    """Array of token k-grams joined by a single space, from an ALREADY
-    MATERIALIZED token-array column. Array HOF lambdas evaluate interpreted
-    per element, and an embedded tokenizer expression would re-run the split
-    per element_at (O(tokens²)/row — the round-1 phrase-tf trap); callers
-    must project the token array first."""
+    """Array of DISTINCT token k-grams joined by a single space, as an
+    Arrow-batched pandas UDF over the token array.
+
+    Why a UDF and not array HOFs: transform/element_at lambdas evaluate
+    interpreted per element AND ProjectCollapse re-embeds the tokenizer
+    expression into the lambda even when the token array is aliased in a
+    separate projection — re-running the split per element_at made shingle
+    generation O(tokens²) per row (measured 12s for 260k shingles; the same
+    trap round 1 hit on phrase tf). A UDF input is evaluated exactly once."""
     toks = F.col(toks) if isinstance(toks, str) else toks
-    idx = F.sequence(F.lit(0), F.size(toks) - k)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-    )
-    return F.when(F.size(toks) >= k, F.array_distinct(F.transform(idx, gram))).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    @F.pandas_udf("array<string>")
+    def gen(ts: pd.Series) -> pd.Series:
+        def g(lst):
+            if lst is None or len(lst) < k:
+                return []
+            return list(dict.fromkeys(
+                " ".join(lst[i:i + k]) for i in range(len(lst) - k + 1)
+            ))
+        return ts.map(g)
+
+    return gen(toks)
 
 
 def _shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(_id, g) exploded distinct k-gram rows; tokens materialized in a
-    projection before the shingle HOF (see shingles_from_tokens)."""
+    """(_id, g) exploded distinct k-gram rows."""
     return (
-        df.select(F.col(id_col).alias("_id"),
-                  tokens_col(text_col).alias("_toks"))
-        .select("_id", shingles_from_tokens("_toks", k).alias("sh"))
+        df.select(
+            F.col(id_col).alias("_id"),
+            shingles_from_tokens(tokens_col(text_col), k).alias("sh"),
+        )
         .select("_id", F.explode("sh").alias("g"))
     )
 
