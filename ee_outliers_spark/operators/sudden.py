@@ -65,10 +65,13 @@ def sudden_appearance(
     end: dt.datetime,
     size: dt.timedelta,
     step: dt.timedelta,
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Outlier rows: earliest-in-window events landing in the window's final
     step. Output: one row per (w_id, aggregator, target) outlier with the
-    earliest doc's columns + window metadata."""
+    earliest doc's columns + window metadata. ``payload_cols`` restricts
+    which doc columns travel through the min_by shuffle (callers that only
+    need the key shouldn't ship whole rows × the window fan-out)."""
     spark = df.sparkSession
     wins = window_schedule(start, end, size, step)
     win_df = spark.createDataFrame(
@@ -83,7 +86,8 @@ def sudden_appearance(
         (F.col(ts_col) >= F.col("w_start")) & (F.col(ts_col) <= F.col("w_end")),
     )
     # earliest event per (window, aggregator, target) — ref A4/T1 top_hits(1, ts asc)
-    payload = F.struct(F.col(ts_col).alias("_ts"), *[F.col(c) for c in df.columns])
+    keep = payload_cols if payload_cols is not None else df.columns
+    payload = F.struct(F.col(ts_col).alias("_ts"), *[F.col(c) for c in keep])
     firsts = joined.groupBy("w_id", "w_start", "w_end", "aggregator", "target").agg(
         F.min_by(payload, F.col(ts_col)).alias("doc"),
         F.count("*").cast("long").alias("num_target_value_in_window"),
@@ -109,7 +113,8 @@ def sudden_appearance_docs(
 ) -> DataFrame:
     """Distinct flagged docs across all window positions (enrichment view)."""
     return (
-        sudden_appearance(df, groups, target, ts_col, start, end, size, step)
+        sudden_appearance(df, groups, target, ts_col, start, end, size, step,
+                          payload_cols=[key_col])
         .select(key_col)
         .distinct()
     )
