@@ -1071,6 +1071,31 @@ def media_image_dims_q(spark, sf_dir):
     )
 
 
+def _bpe_sql() -> str:
+    from .operators.textstats import bpe_token_count_sql, token_count_sql
+
+    return f"""
+SELECT doc_id,
+       {token_count_sql('text')} AS n_words,
+       {bpe_token_count_sql('text')} AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("token_count_bpe", _bpe_sql())
+def token_count_bpe_q(spark, sf_dir):
+    """Whitespace-word vs BPE-ish token counts per document (the
+    training-data budgeting numbers a 100 TB pipeline runs constantly)."""
+    from .operators.textstats import bpe_token_count_col, token_count_col
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col("text").alias("n_words"),
+        bpe_token_count_col("text").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
 def _text_profile_sql() -> str:
     from .operators.textstats import (
         fingerprint_sql, langid_sql, quality_score_sql, token_count_sql,

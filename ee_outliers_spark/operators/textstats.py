@@ -30,6 +30,30 @@ def token_count_sql(expr: str) -> str:
     return f"CAST(len({tokens_sql(expr)}) AS BIGINT)"
 
 
+#: BPE-ish pre-tokenizer (the GPT-2 pattern family simplified to an
+#: RE2/Java-regex-common subset: contraction suffixes, letter runs, digit
+#: runs, punctuation runs, whitespace runs — each with an optional leading
+#: space, the way byte-level BPE splits before merging). Counting these
+#: pieces approximates LLM token counts far better than whitespace words.
+BPE_SPLIT_RE = (
+    r"'(?:s|t|d|m|ll|ve|re)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^A-Za-z0-9\s]+"
+    r"|\s+"
+)
+
+
+def bpe_token_count_col(text_col: str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_RE), 0)).cast("long")
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return f"CAST(len(regexp_extract_all({expr}, '{pat}', 0)) AS BIGINT)"
+
+
 def lang_scores_col(text_col: str) -> dict[str, Column]:
     toks = tokens_col(text_col)
     out = {}
