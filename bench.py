@@ -96,6 +96,30 @@ def main() -> None:
     timed("df_phrase", lambda: phrase_topk_df(
         docs, "doc_id", "text", doclen, n, avgdl, "key order", 10).collect())
 
+    # --- filter context + text profiling (index-backed / codegen paths) ------
+    timed("querystring_filter", lambda: ep.querystring_filter(spark, sf_dir).count())
+    timed("range_filter", lambda: ep.range_filter(spark, sf_dir).count())
+    timed("text_profile", lambda: ep.text_profile_q(spark, sf_dir).count())
+    timed("token_count_bpe", lambda: ep.token_count_bpe_q(spark, sf_dir).count())
+
+    # --- incremental append (streaming ingestion path, ST5) -------------------
+    from ee_outliers_spark.index.build import build_segments
+    from ee_outliers_spark.streaming.daemon import append_segments
+    from pyspark.sql import functions as F  # noqa: N812
+
+    inc_dir = tempfile.mkdtemp(prefix="bench_inc_")
+    try:
+        build_segments(spark, docs, "doc_id", "text", inc_dir,
+                       num_segments=cpus, resume=False)
+        from ee_outliers_spark.index.build import IndexPaths
+        new_docs = docs.select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        ).limit(1000)
+        timed("index_append_1k", lambda: append_segments(
+            spark, new_docs, IndexPaths(inc_dir), num_segments=4))
+    finally:
+        shutil.rmtree(inc_dir, ignore_errors=True)
+
     # --- analyzers ------------------------------------------------------------
     timed("terms_within", lambda: terms_outliers(
         events, ["user_id"], "event_type", "within_aggregator", "mad", 1.0, "high"
