@@ -388,6 +388,11 @@ def build_segments(
         else:
             refresh_stats_and_termstats(spark, paths, num_segments, segs=seg_df)
         seg_df.unpersist()
-    else:
+    elif not (os.path.exists(paths.stats)
+              and os.path.isdir(paths.termstats)):
+        # nothing to build AND the derived stats are missing (e.g. a crash
+        # landed between segment write and refresh) — recompute them; on a
+        # fully-built index this is a no-op instead of a full re-read +
+        # termstats rewrite per call
         refresh_stats_and_termstats(spark, paths, num_segments)
     return paths

@@ -54,3 +54,34 @@ def test_extraction_handles_markup_in_text(spark):
     assert out["u1"] == "a <b>bold</b> claim & more"
     assert out["u2"] == ""
     assert out["u3"] == ""  # null text renders as empty page
+
+
+def test_web_pages_partitioned_layout(spark, sf_dir, tmp_path):
+    """Day-partitioned, url-sorted storage: a time-bounded read prunes to
+    the touched day partitions (fewer input files than the full scan)."""
+    import datetime as dt
+    import os
+
+    from ee_outliers_spark.corpus import web_pages
+    from ee_outliers_spark.sources.tables import read_web_pages, write_web_pages
+
+    out = str(tmp_path / "web_pages")
+    pages = web_pages(spark, sf_dir)
+    write_web_pages(pages, out)
+    dirs = [d for d in os.listdir(out) if d.startswith("crawl_date=")]
+    assert len(dirs) == 14  # doc_id % 14 day buckets
+
+    full = read_web_pages(spark, out)
+    assert full.count() == pages.count()
+
+    lo = dt.datetime(2024, 1, 2)
+    hi = dt.datetime(2024, 1, 4, 23, 59, 59)
+    sliced = read_web_pages(spark, out, ts_from=lo, ts_to=hi)
+    rows = sliced.select("warc_ts").collect()
+    assert rows and all(lo <= r["warc_ts"] <= hi for r in rows)
+
+    def n_files_read(df):
+        return df.select(F.input_file_name()).distinct().count()
+
+    assert n_files_read(sliced) < n_files_read(full)  # pruning is real
+    assert n_files_read(sliced) <= 3  # exactly the touched day dirs
