@@ -234,6 +234,10 @@ class _Parser:
                         raise ValueError(f"bad field value after {val}:-")
                     return FieldEq(val, "-" + wv)
                 raise ValueError(f"bad field value after {val}:")
+            if val.upper() in ("AND", "OR", "NOT"):
+                # bare boolean operator with no operand (ES rejects these);
+                # a FIELD named and/or/not is fine — that path has a colon
+                raise ValueError(f"operator {val} used without operands")
             return Term(val)
         raise ValueError(f"unexpected token {kind}:{val}")
 
