@@ -10,6 +10,7 @@ hash; ranks and ids carry the correctness signal, and scores are asserted to
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -118,6 +119,55 @@ def bm25_topk_head_rare(spark, sf_dir):
 @register("bm25_topk_zero_hit", _bm25_sql(["zzzqqqxxx"], 10, "or"))
 def bm25_topk_zero_hit(spark, sf_dir):
     return _bm25_spark(spark, sf_dir, ["zzzqqqxxx"], 10, "or")
+
+
+# --- incremental build parity (ST5): batch ≡ append ≡ merged -----------------
+
+_INC_CACHE: dict[str, object] = {}
+
+
+def _incremental_index(spark, sf_dir):
+    """Index built the STREAMING way — half the corpus as the initial batch,
+    the other half appended via append_segments, then LSM-merged — must
+    answer queries rank-identically to a batch build (the oracle computes
+    BM25 over the full corpus directly). Exercises the avgdl-independent
+    block metadata story: old segments stay valid as avgdl shifts."""
+    import tempfile as _tf
+
+    from .index.build import IndexPaths, build_segments
+    from .index.merge import merge_segments
+    from .streaming.daemon import append_segments
+
+    key = os.path.abspath(sf_dir)
+    hit = _INC_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load(spark, sf_dir, "documents")
+    out = _tf.mkdtemp(prefix="eos_inc_idx_")
+    build_segments(spark, docs.where(F.col("doc_id") % 2 == 0),
+                   "doc_id", "text", out, num_segments=4, resume=False)
+    paths = IndexPaths(out)
+    append_segments(spark, docs.where(F.col("doc_id") % 2 == 1),
+                    paths, num_segments=4)
+    merge_segments(spark, paths, fanin=2)
+    _INC_CACHE[key] = paths
+    return paths
+
+
+
+@register("incremental_index_bm25",
+          _bm25_sql(["stream", "index", "window"], 20, "or"))
+def incremental_index_bm25(spark, sf_dir):
+    from . import ensure_py_files
+
+    ensure_py_files(spark)
+    paths = _incremental_index(spark, sf_dir)
+    top = bm25_topk_wand(spark, paths, ["stream", "index", "window"], 20, "or")
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
 
 
 # --- phrase query (ref F2 quoted phrases; Lucene PhraseQuery tf) -------------
