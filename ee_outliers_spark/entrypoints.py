@@ -445,6 +445,60 @@ def terms_within_mad(spark, sf_dir):
 
 
 @register(
+    "outlier_store_merge",
+    f"""
+WITH base AS (
+  SELECT event_id, CAST(user_id AS VARCHAR) AS aggregator, event_type AS target
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+vals AS (
+  SELECT aggregator, target, CAST(count(*) AS BIGINT) AS term_count
+  FROM base GROUP BY aggregator, target
+),
+{_mad_frontier_cte('aggregator', 'term_count', 1.0, 'high')},
+outliers AS (
+  SELECT b.event_id
+  FROM base b
+  JOIN vals USING (aggregator, target)
+  JOIN fr USING (aggregator)
+  WHERE term_count > frontier
+)
+SELECT CAST(count(*) AS BIGINT) AS first_insert,
+       CAST(0 AS BIGINT) AS second_insert
+FROM outliers
+""",
+)
+def outlier_store_merge(spark, sf_dir):
+    """MERGE-sink semantics (ref S5/S6, es.py:388-487 bulk partial updates):
+    the first upsert inserts every flagged doc once; re-running the model is
+    a no-op (idempotent anti-join MERGE — 0 new rows)."""
+    import tempfile as _tf
+
+    from .operators.terms import terms_outliers
+    from .sources.results import OutlierStore
+
+    ev = load(spark, sf_dir, "events")
+    out = terms_outliers(
+        ev, ["user_id"], "event_type", "within_aggregator", "mad", 1.0, "high"
+    )
+    staged = out.select(
+        F.col("event_id").cast("string").alias("doc_key"),
+        F.lit("terms_gate").alias("model_name"),
+        F.lit("terms").alias("model_type"),
+        F.lit(None).cast("string").alias("reason"),
+        F.lit(None).cast("string").alias("summary"),
+        F.lit(None).cast("string").alias("observations"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("detected_ts"),
+    )
+    store = OutlierStore(spark, _tf.mkdtemp(prefix="eos_store_") + "/outliers")
+    first = store.upsert(staged)
+    second = store.upsert(staged)
+    return spark.createDataFrame(
+        [(first, second)], "first_insert long, second_insert long"
+    )
+
+
+@register(
     "terms_across_float",
     """
 WITH base AS (
