@@ -19,7 +19,7 @@ from pyspark.sql.window import Window
 
 from .index.cache import corpus_index
 from .index.filter import indexed_filter
-from .index.query import bm25_topk_wand, doclen_df, phrase_topk_df
+from .index.query import bm25_topk_wand, doclen_df, phrase_topk_wand
 from .queryparser import (
     dsl_to_ast, parse_query_string, to_duckdb_sql, to_spark_predicate,
 )
@@ -205,15 +205,15 @@ LIMIT {k}
 
 @register("bm25_phrase", _phrase_sql("key order", 20))
 def bm25_phrase(spark, sf_dir):
-    import json as _json
+    """Phrase top-k entirely off the positional index: the plan reads
+    segments.parquet (term IN (...) pushed down) — the documents table is
+    never scanned (the oracle recomputes from raw text, so a MATCH proves
+    the positional postings reproduce full-corpus re-tokenization)."""
+    from . import ensure_py_files
 
-    docs = load(spark, sf_dir, "documents")
+    ensure_py_files(spark)
     paths = corpus_index(spark, sf_dir)
-    with open(paths.stats) as fh:
-        stats = _json.load(fh)
-    n, avgdl = stats["n_docs"], stats["avgdl"]
-    doclen = doclen_df(spark, paths)
-    top = phrase_topk_df(docs, "doc_id", "text", doclen, n, avgdl, "key order", 20)
+    top = phrase_topk_wand(spark, paths, "key order", 20)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.select(
         F.col("doc_id").cast("long").alias("doc_id"),

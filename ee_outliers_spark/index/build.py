@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tokenizer import tokenize_py, tokens_col
-from .codec import varbyte_encode
+from .codec import encode_position_stream, varbyte_encode
 
 BLOCK = 128
 K1 = 1.2
@@ -63,7 +63,7 @@ B = 0.75
 #: query side needs no cogroup/join to find a segment's doc lengths.
 SEGMENT_SCHEMA = (
     "seg_id int, term string, df_local long, n_postings long, "
-    "doc_blob binary, tf_blob binary, "
+    "doc_blob binary, tf_blob binary, pos_blob binary, "
     "block_last_doc array<long>, block_max_tf array<long>, "
     "block_min_dl array<long>, "
     "n_docs long, sum_dl long, build_secs double"
@@ -71,6 +71,7 @@ SEGMENT_SCHEMA = (
 
 _SEG_COLS = [
     "seg_id", "term", "df_local", "n_postings", "doc_blob", "tf_blob",
+    "pos_blob",
     "block_last_doc", "block_max_tf", "block_min_dl",
     "n_docs", "sum_dl", "build_secs",
 ]
@@ -140,23 +141,37 @@ def segment_frame(seg_id: int, doc_ids_sorted: np.ndarray, dls_sorted: np.ndarra
                   tf: pd.DataFrame, elapsed: float) -> pd.DataFrame:
     """Assemble one segment's output rows from docID-sorted doc lengths and a
     (term, doc_id, tf) frame sorted by (term, doc_id). Shared by the build
-    kernel and the LSM merge."""
+    kernel and the LSM merge.
+
+    When ``tf`` carries a ``poss`` column (per-posting ascending token
+    positions; len(poss) == tf), each term row additionally gets a
+    ``pos_blob``: delta-gapped, varbyte-compressed positions in docID order
+    (Lucene .prx layout) — phrase queries then resolve entirely off the
+    index instead of re-tokenizing the corpus (ref F2 quoted phrases,
+    /root/reference/app/helpers/es.py:238-250)."""
     out_rows = []
     dl_lookup = dls_sorted[np.searchsorted(doc_ids_sorted, tf["doc_id"].to_numpy())]
     tf_np = tf["tf"].to_numpy()
     doc_np = tf["doc_id"].to_numpy()
+    poss_np = tf["poss"].to_numpy() if "poss" in tf.columns else None
     for term, grp_idx in tf.groupby("term", sort=True).indices.items():
         docs = doc_np[grp_idx].astype(np.uint64)
         tfs = tf_np[grp_idx].astype(np.uint64)
         dls = dl_lookup[grp_idx]
         doc_blob = varbyte_encode(np.diff(docs, prepend=np.uint64(0)))
         tf_blob = varbyte_encode(tfs)
+        pos_blob = None
+        if poss_np is not None:
+            flat = (np.concatenate([np.asarray(p, dtype=np.int64)
+                                    for p in poss_np[grp_idx]])
+                    if len(grp_idx) else np.empty(0, np.int64))
+            pos_blob = encode_position_stream(flat, tfs.astype(np.int64))
         nblk = (len(docs) + BLOCK - 1) // BLOCK
         blast = [int(docs[min((i + 1) * BLOCK, len(docs)) - 1]) for i in range(nblk)]
         bmaxtf = [int(tfs[i * BLOCK:(i + 1) * BLOCK].max()) for i in range(nblk)]
         bmindl = [int(dls[i * BLOCK:(i + 1) * BLOCK].min()) for i in range(nblk)]
         out_rows.append(
-            (seg_id, term, len(docs), len(docs), doc_blob, tf_blob,
+            (seg_id, term, len(docs), len(docs), doc_blob, tf_blob, pos_blob,
              blast, bmaxtf, bmindl, None, None, elapsed)
         )
     # doclen sidecar row (term NULL). df_local/n_postings are repurposed to
@@ -169,6 +184,7 @@ def segment_frame(seg_id: int, doc_ids_sorted: np.ndarray, dls_sorted: np.ndarra
         varbyte_encode(np.diff(doc_ids_sorted.astype(np.uint64),
                                prepend=np.uint64(0))),
         varbyte_encode(dls_sorted.astype(np.uint64)),
+        None,
         None, None, None,
         int(len(doc_ids_sorted)), int(dls_sorted.sum()), elapsed,
     ))
@@ -191,8 +207,9 @@ def _pairs_segment_frame(key, pdf: pd.DataFrame) -> pd.DataFrame:
     order = np.argsort(dl_rows["doc_id"].to_numpy(), kind="stable")
     docs_sorted = dl_rows["doc_id"].to_numpy(dtype=np.int64)[order]
     dls_sorted = dl_rows["cnt"].to_numpy(dtype=np.int64)[order]
+    cols = ["term", "doc_id", "cnt"] + (["poss"] if "poss" in pdf.columns else [])
     tf = (
-        term_rows[["term", "doc_id", "cnt"]]
+        term_rows[cols]
         .rename(columns={"cnt": "tf"})
         .sort_values(["term", "doc_id"], kind="stable")
     )
@@ -200,19 +217,38 @@ def _pairs_segment_frame(key, pdf: pd.DataFrame) -> pd.DataFrame:
                          time.monotonic() - t0)
 
 
-def _pair_stream(base: DataFrame, num_segments: int) -> DataFrame:
-    """(seg_id, term, doc_id, cnt): per-(term,doc) tf rows + term-NULL doclen
-    rows — all JVM-side (tokenize via codegen split/filter; one shuffle with
-    partial aggregation collapsing duplicate tokens map-side)."""
+def _pair_stream(base: DataFrame, num_segments: int,
+                 positions: bool = False) -> DataFrame:
+    """(seg_id, term, doc_id, cnt[, poss]): per-(term,doc) tf rows + term-NULL
+    doclen rows — all JVM-side (tokenize via codegen split/filter; one shuffle
+    with partial aggregation collapsing duplicate tokens map-side).
+
+    With ``positions=True`` the explode keeps each token's array index
+    (posexplode) and the agg carries ``sort_array(collect_list(pos))`` — the
+    shuffle grows from O(distinct (term,doc) pairs) to O(total tokens), which
+    is inherent to a positional index (positions ARE O(tokens) of payload;
+    Lucene pays the same in .prx). Non-positional indexes keep the compact
+    shuffle, so builds that never serve phrase queries pay nothing."""
     seg = (F.col("doc_id") % num_segments).cast("int").alias("seg_id")
+    dl = base.select(
+        seg, F.lit(None).cast("string").alias("term"), F.col("doc_id"),
+        F.size(tokens_col("text")).cast("long").alias("cnt"),
+    )
+    if positions:
+        toks = base.select(
+            seg, F.col("doc_id"),
+            F.posexplode(tokens_col("text")).alias("pos", "term"),
+        )
+        tf = toks.groupBy("seg_id", "term", "doc_id").agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("poss"),
+        )
+        dl = dl.withColumn("poss", F.lit(None).cast("array<int>"))
+        return tf.select("seg_id", "term", "doc_id", "cnt", "poss").unionByName(dl)
     toks = base.select(seg, F.col("doc_id"),
                        F.explode(tokens_col("text")).alias("term"))
     tf = toks.groupBy("seg_id", "term", "doc_id").agg(
         F.count("*").cast("long").alias("cnt")
-    )
-    dl = base.select(
-        seg, F.lit(None).cast("string").alias("term"), F.col("doc_id"),
-        F.size(tokens_col("text")).cast("long").alias("cnt"),
     )
     return tf.select("seg_id", "term", "doc_id", "cnt").unionByName(dl)
 
@@ -282,27 +318,73 @@ class IndexPaths:
     def manifest(self) -> str: return os.path.join(self.root, "manifest.jsonl")
 
 
+def load_stats(paths: IndexPaths) -> dict:
+    if not os.path.exists(paths.stats):
+        return {}
+    with open(paths.stats) as fh:
+        return json.load(fh)
+
+
+def commit_stats(paths: IndexPaths, stats: dict) -> None:
+    """Atomically replace stats.json — the index's commit point (≈ Lucene's
+    segments_N file). Readers that loaded the previous commit keep a
+    consistent view; a crash mid-write never exposes a torn file."""
+    tmp = paths.stats + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh)
+    os.replace(tmp, paths.stats)
+
+
+def read_live_segments(spark: SparkSession, paths: IndexPaths) -> DataFrame:
+    """The segment table restricted to the current commit point's live
+    seg_ids. ``live_segments`` is how LSM merges retire inputs without a
+    delete-then-rename window: the new segment is written, the commit point
+    flips atomically, and the dead directories are garbage afterwards —
+    readers never observe duplicates or a half-deleted index. ``seg_id`` is
+    the parquet partition column, so the IN filter is partition pruning
+    (dead directories are never even listed into the scan)."""
+    segs = spark.read.parquet(paths.segments)
+    live = load_stats(paths).get("live_segments")
+    if live is not None:
+        segs = segs.where(F.col("seg_id").isin([int(s) for s in live]))
+    return segs
+
+
 def refresh_stats_and_termstats(spark: SparkSession, paths: IndexPaths,
                                 num_segments: int | None = None,
-                                segs: DataFrame | None = None) -> None:
+                                segs: DataFrame | None = None,
+                                live: list[int] | None = None,
+                                positions: bool | None = None) -> None:
     """Recompute stats.json (from doclen sidecar rows) + termstats.parquet
-    (vocabulary-sized agg over term rows) from the segment table."""
+    (vocabulary-sized agg over term rows) from the live segment table.
+    ``live``/``positions`` default to the previous commit's values."""
+    prev = load_stats(paths)
+    if live is None:
+        live = prev.get("live_segments")
+    if positions is None:
+        positions = prev.get("positions", False)
     if segs is None:
         segs = spark.read.parquet(paths.segments)
+        if live is not None:
+            segs = segs.where(F.col("seg_id").isin([int(s) for s in live]))
     srow = segs.where(F.col("term").isNull()).agg(
         F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s")
     ).collect()[0]
     n_docs = int(srow["n"] or 0)
     avgdl = (float(srow["s"]) / n_docs) if n_docs else 0.0
-    stats = {"n_docs": n_docs, "avgdl": avgdl, "k1": K1, "b": B, "block": BLOCK}
+    stats = {"n_docs": n_docs, "avgdl": avgdl, "k1": K1, "b": B, "block": BLOCK,
+             "positions": bool(positions)}
+    if live is not None:
+        stats["live_segments"] = sorted(int(s) for s in live)
     if num_segments is not None:
         stats["num_segments"] = num_segments
-    with open(paths.stats, "w") as fh:
-        json.dump(stats, fh)
+    elif "num_segments" in prev:
+        stats["num_segments"] = prev["num_segments"]
     ts = segs.where(F.col("term").isNotNull()).groupBy("term").agg(
         F.sum("df_local").cast("long").alias("df")
     )
     ts.write.mode("overwrite").parquet(paths.termstats)
+    commit_stats(paths, stats)
 
 
 def write_manifest(spark: SparkSession, paths: IndexPaths, seg_ids: list[int],
@@ -344,11 +426,14 @@ def build_segments(
     out_dir: str,
     num_segments: int = 32,
     resume: bool = True,
+    positions: bool = False,
 ) -> IndexPaths:
     """Single-pass SPIMI index build with checkpointed, resumable segments.
 
     Lineage + postings/sec per segment land in ``manifest.jsonl``
-    (north_rule: per-partition checkpoints, lineage, metrics)."""
+    (north_rule: per-partition checkpoints, lineage, metrics).
+    ``positions=True`` stores per-posting token positions (pos_blob) so
+    phrase queries run off the index — see ``_pair_stream`` for the cost."""
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -362,8 +447,10 @@ def build_segments(
             done = {json.loads(line)["seg_id"] for line in fh if line.strip()}
 
     todo = [s for s in range(num_segments) if s not in done]
+    live = sorted(set(range(num_segments)) | done)
     if todo:
-        pairs = _pair_stream(base, num_segments).where(F.col("seg_id").isin(todo))
+        pairs = _pair_stream(base, num_segments, positions=positions).where(
+            F.col("seg_id").isin(todo))
         t0 = time.monotonic()
         seg_df = pairs.groupBy("seg_id").applyInPandas(
             _pairs_segment_frame, schema=SEGMENT_SCHEMA
@@ -379,14 +466,18 @@ def build_segments(
         write_manifest(
             spark, paths, todo,
             {"source": df.schema.simpleString(), "doc_col": doc_col,
-             "text_col": text_col, "num_segments": num_segments},
+             "text_col": text_col, "num_segments": num_segments,
+             "positions": positions},
             wall, segs=seg_df,
         )
         if done:
             # resume: stats must also cover previously-completed segments
-            refresh_stats_and_termstats(spark, paths, num_segments)
+            refresh_stats_and_termstats(spark, paths, num_segments,
+                                        live=live, positions=positions)
         else:
-            refresh_stats_and_termstats(spark, paths, num_segments, segs=seg_df)
+            refresh_stats_and_termstats(spark, paths, num_segments,
+                                        segs=seg_df, live=live,
+                                        positions=positions)
         seg_df.unpersist()
     elif not (os.path.exists(paths.stats)
               and os.path.isdir(paths.termstats)):
@@ -394,5 +485,6 @@ def build_segments(
         # landed between segment write and refresh) — recompute them; on a
         # fully-built index this is a no-op instead of a full re-read +
         # termstats rewrite per call
-        refresh_stats_and_termstats(spark, paths, num_segments)
+        refresh_stats_and_termstats(spark, paths, num_segments,
+                                    live=live, positions=positions)
     return paths

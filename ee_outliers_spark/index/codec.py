@@ -78,6 +78,41 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(np.asarray(gaps, dtype=np.uint64), dtype=np.uint64)
 
 
+def encode_position_stream(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Token positions for one posting list → varbyte blob.
+
+    ``flat_positions`` is the concatenation, in docID order, of each doc's
+    ascending token positions; ``tfs`` gives the per-doc counts (the split
+    boundaries — a posting's tf IS its position count, so no extra length
+    prefix is stored). Within each doc positions are delta-gapped with the
+    first stored absolute (the Lucene .prx layout)."""
+    flat = np.asarray(flat_positions, dtype=np.int64)
+    if flat.size == 0:
+        return b""
+    gaps = flat.copy()
+    gaps[1:] -= flat[:-1]
+    starts = np.cumsum(np.asarray(tfs, dtype=np.int64))[:-1]
+    gaps[starts] = flat[starts]  # doc boundaries: absolute, not cross-doc gap
+    return varbyte_encode(gaps.astype(np.uint64))
+
+
+def decode_position_stream(pos_blob: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_position_stream`.
+
+    Returns ``(flat_absolute_positions, bounds)`` where ``bounds =
+    cumsum(tfs)`` — doc *i*'s positions are ``flat[bounds[i-1]:bounds[i]]``.
+    Fully vectorized: one global cumsum, then each doc's segment is re-based
+    by subtracting the running total at its boundary."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    bounds = np.cumsum(tfs)
+    flat = varbyte_decode(pos_blob).astype(np.int64)
+    if flat.size == 0:
+        return flat, bounds
+    cs = np.cumsum(flat)
+    doc_base = np.concatenate(([0], cs[bounds[:-1] - 1]))
+    return cs - np.repeat(doc_base, tfs), bounds
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
     """(docIDs ascending, term frequencies) → (varbyte(delta(docIDs)), varbyte(tfs))."""
     return varbyte_encode(delta_encode(doc_ids)), varbyte_encode(tfs)

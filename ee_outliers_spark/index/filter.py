@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..queryparser import And, Not, Or, Term, to_spark_predicate
 from ..tokenizer import tokenize_py
-from .build import IndexPaths
+from .build import IndexPaths, read_live_segments
 from .codec import varbyte_decode
 
 MATCH_COL = "_matched_terms"
@@ -58,7 +58,7 @@ def posting_docs(spark: SparkSession, paths: IndexPaths,
     """(term, doc_id) for the requested terms, decoded from the compressed
     segments. The ``term IN (...)`` filter reaches the parquet scan, so only
     |q| rows per segment are read regardless of corpus size."""
-    segs = spark.read.parquet(paths.segments).where(
+    segs = read_live_segments(spark, paths).where(
         F.col("term").isin(terms)
     ).select("term", "doc_blob")
 

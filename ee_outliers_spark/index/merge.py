@@ -4,10 +4,27 @@ of partition-local segments into a global index").
 
 Segments are doc-disjoint, so merging ``fanin`` segments is, per term, a
 merge-sort of posting arrays followed by re-encoding (delta-gap varbyte +
-fresh block metadata), and a concat+sort of the doclen sidecars. One output
-segment is built inside one task via applyInPandas over the single segment
-table (term rows + sidecar rows travel together), so task memory =
-merged-segment size — the same bounded budget as the SPIMI build.
+fresh block metadata, positions carried through), and a concat+sort of the
+doclen sidecars. One output segment is built inside one task via
+applyInPandas over the single segment table (term rows + sidecar rows travel
+together), so task memory = merged-segment size — the same bounded budget as
+the SPIMI build.
+
+Two policies:
+
+- ``merge_tier``     — the LSM policy: pick the ``fanin`` SMALLEST live
+                       segments (by postings, from the manifest), merge them
+                       into ONE new segment, flip the commit point
+                       (stats.json ``live_segments``), then GC the dead
+                       directories. I/O per call = O(tier size), not
+                       O(index) — at 10^12 docs this is the difference
+                       between an LSM tree and rewriting the world on every
+                       compaction. Crash-safe: the new segment is written
+                       BEFORE the atomic commit flip; a crash on either side
+                       of the flip leaves a fully consistent index (readers
+                       filter to live seg_ids — see build.read_live_segments).
+- ``merge_segments`` — full compaction (every ``fanin`` consecutive seg_ids
+                       → one), same commit-point protocol.
 
 Why merge at all at scale: builds at 10^12 docs produce thousands of small
 segments (one per build partition / incremental batch); query cost has a
@@ -17,6 +34,7 @@ keep the segment count logarithmic in corpus size, exactly like an LSM tree.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -27,54 +45,153 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .build import (
-    SEGMENT_SCHEMA, IndexPaths, refresh_stats_and_termstats, segment_frame,
+    SEGMENT_SCHEMA, IndexPaths, commit_stats, load_stats,
+    read_live_segments, refresh_stats_and_termstats, segment_frame,
+    write_manifest,
 )
-from .codec import varbyte_decode
+from .codec import decode_position_stream, varbyte_decode
 
 
 def _merge_group(pdf: pd.DataFrame, new_seg: int) -> pd.DataFrame:
     t0 = time.monotonic()
-    dl_rows = pdf[pdf["term"].isna()]
-    term_rows = pdf[pdf["term"].notna()]
-    # merged doclen sidecar
+    dl_mask = pdf["term"].isna().to_numpy()
+    dl_rows = pdf[dl_mask]
+    term_rows = pdf[~dl_mask]
+    # merged doclen sidecar (zip over columns — no per-row iterrows)
     dl_docs_parts, dl_vals_parts = [], []
-    for _, row in dl_rows.iterrows():
+    for dblob, tblob in zip(dl_rows["doc_blob"], dl_rows["tf_blob"]):
         dl_docs_parts.append(
-            np.cumsum(varbyte_decode(bytes(row["doc_blob"]))).astype(np.int64))
-        dl_vals_parts.append(varbyte_decode(bytes(row["tf_blob"])).astype(np.int64))
+            np.cumsum(varbyte_decode(bytes(dblob))).astype(np.int64))
+        dl_vals_parts.append(varbyte_decode(bytes(tblob)).astype(np.int64))
     dl_docs = np.concatenate(dl_docs_parts) if dl_docs_parts else np.empty(0, np.int64)
     dl_vals = np.concatenate(dl_vals_parts) if dl_vals_parts else np.empty(0, np.int64)
     order = np.argsort(dl_docs, kind="stable")
     dl_docs, dl_vals = dl_docs[order], dl_vals[order]
 
-    # merged (term, doc_id, tf) frame — doc-disjoint inputs ⇒ plain concat+sort
+    # merged (term, doc_id, tf[, poss]) frame — doc-disjoint ⇒ concat+sort
+    positional = term_rows["pos_blob"].notna().any() if len(term_rows) else False
     frames = []
-    for _, row in term_rows.iterrows():
-        docs = np.cumsum(varbyte_decode(bytes(row["doc_blob"]))).astype(np.int64)
-        tfs = varbyte_decode(bytes(row["tf_blob"])).astype(np.int64)
-        frames.append(pd.DataFrame(
-            {"term": row["term"], "doc_id": docs, "tf": tfs}))
+    for term, dblob, tblob, pblob in zip(
+            term_rows["term"], term_rows["doc_blob"],
+            term_rows["tf_blob"], term_rows["pos_blob"]):
+        docs = np.cumsum(varbyte_decode(bytes(dblob))).astype(np.int64)
+        tfs = varbyte_decode(bytes(tblob)).astype(np.int64)
+        cols = {"term": term, "doc_id": docs, "tf": tfs}
+        if positional:
+            flat, bounds = decode_position_stream(bytes(pblob), tfs)
+            cols["poss"] = np.split(flat, bounds[:-1])
+        frames.append(pd.DataFrame(cols))
+    base_cols = ["term", "doc_id", "tf"] + (["poss"] if positional else [])
     tf = (
         pd.concat(frames, ignore_index=True).sort_values(["term", "doc_id"])
-        if frames else pd.DataFrame({"term": [], "doc_id": [], "tf": []})
+        if frames else pd.DataFrame({c: [] for c in base_cols})
     )
     return segment_frame(new_seg, dl_docs, dl_vals, tf, time.monotonic() - t0)
 
 
+def _gc_segments(paths: IndexPaths, dead: list[int]) -> None:
+    """Remove retired segment directories. Safe at any time after the commit
+    flip: readers resolve live seg_ids from stats.json, so these directories
+    are unreachable garbage."""
+    for s in dead:
+        shutil.rmtree(os.path.join(paths.segments, f"seg_id={int(s)}"),
+                      ignore_errors=True)
+
+
+def _manifest_seg_sizes(paths: IndexPaths) -> dict[int, int]:
+    """seg_id → postings from the manifest (last entry per seg wins)."""
+    sizes: dict[int, int] = {}
+    if not os.path.exists(paths.manifest):
+        return sizes
+    with open(paths.manifest) as fh:
+        for line in fh:
+            if line.strip():
+                rec = json.loads(line)
+                sizes[int(rec["seg_id"])] = int(rec["postings"])
+    return sizes
+
+
+def merge_tier(spark: SparkSession, paths: IndexPaths, fanin: int = 4) -> int | None:
+    """Merge the ``fanin`` smallest live segments into one new segment.
+    Returns the new seg_id, or None when fewer than 2 live segments exist.
+    Only the selected tier is read/written — every other segment's files are
+    untouched (asserted by tests via bytes-on-disk)."""
+    stats = load_stats(paths)
+    live = stats.get("live_segments")
+    if live is None:
+        live = sorted(
+            int(r["seg_id"]) for r in
+            spark.read.parquet(paths.segments)
+            .select("seg_id").distinct().collect()
+        )
+    if len(live) < 2:
+        return None
+    sizes = _manifest_seg_sizes(paths)
+    tier = sorted(live, key=lambda s: (sizes.get(s, 0), s))[:fanin]
+    all_ids = {int(p.split("=", 1)[1]) for p in os.listdir(paths.segments)
+               if p.startswith("seg_id=")}
+    new_seg = max(all_ids | set(live)) + 1
+
+    segs = spark.read.parquet(paths.segments).where(
+        F.col("seg_id").isin([int(s) for s in tier]))
+
+    def run(pdfs):
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            yield _merge_group(pd.concat(frames, ignore_index=True), new_seg)
+
+    # tier → one segment: coalesce(1) so one task owns the whole merge group
+    merged = segs.coalesce(1).mapInPandas(run, schema=SEGMENT_SCHEMA)
+    merged.write.mode("append").partitionBy("seg_id").parquet(paths.segments)
+
+    # atomic commit flip: new segment becomes visible at the same instant the
+    # tier inputs retire — no reader ever sees duplicates or a gap
+    new_live = sorted(set(live) - set(tier)) + [new_seg]
+    stats["live_segments"] = sorted(new_live)
+    commit_stats(paths, stats)
+    write_manifest(spark, paths, [new_seg],
+                   {"kind": "tier_merge", "merged": [int(s) for s in tier]},
+                   0.0)
+    _gc_segments(paths, tier)
+    return new_seg
+
+
 def merge_segments(spark: SparkSession, paths: IndexPaths, fanin: int = 4) -> None:
-    """Merge every ``fanin`` consecutive seg_ids into one; rewrites
-    segments.parquet in place (atomic via temp dir + rename)."""
-    segs = spark.read.parquet(paths.segments).withColumn(
-        "new_seg", (F.col("seg_id") / fanin).cast("int")
-    )
+    """Full compaction: every ``fanin`` consecutive live seg_ids → one new
+    segment, written under fresh seg_ids then committed atomically. Old
+    directories are GC'd after the flip (never deleted before the new data
+    is durable — a crash at any point leaves a readable index)."""
+    stats = load_stats(paths)
+    old_live = stats.get("live_segments")
+    segs = read_live_segments(spark, paths)
+    if old_live is None:
+        old_live = sorted(
+            int(r["seg_id"]) for r in
+            segs.select("seg_id").distinct().collect())
+    # fresh ids above every existing directory: append + flip, not rmtree+rename
+    base = max(
+        ({int(p.split("=", 1)[1]) for p in os.listdir(paths.segments)
+          if p.startswith("seg_id=")} | set(old_live)),
+        default=-1,
+    ) + 1
+    rank = {s: i for i, s in enumerate(sorted(old_live))}
+    group_of = {s: base + rank[s] // fanin for s in old_live}
+    new_ids = sorted(set(group_of.values()))
+
+    mapping = F.create_map(
+        *[F.lit(x) for kv in group_of.items() for x in kv])
+    grouped = segs.withColumn("new_seg", mapping[F.col("seg_id")])
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return _merge_group(pdf, int(key[0]))
 
-    merged = segs.groupBy("new_seg").applyInPandas(run, schema=SEGMENT_SCHEMA)
+    merged = grouped.groupBy("new_seg").applyInPandas(run, schema=SEGMENT_SCHEMA)
+    merged.write.mode("append").partitionBy("seg_id").parquet(paths.segments)
 
-    tmp_seg = paths.segments + ".merge_tmp"
-    merged.write.mode("overwrite").partitionBy("seg_id").parquet(tmp_seg)
-    shutil.rmtree(paths.segments)
-    os.rename(tmp_seg, paths.segments)
+    stats["live_segments"] = new_ids
+    commit_stats(paths, stats)
+    write_manifest(spark, paths, new_ids,
+                   {"kind": "full_merge", "merged": [int(s) for s in old_live]},
+                   0.0)
+    _gc_segments(paths, old_live)
     refresh_stats_and_termstats(spark, paths)

@@ -36,8 +36,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tokenizer import tokenize_py, tokens_col
-from .build import B, K1, IndexPaths, block_upper_bound
-from .codec import varbyte_decode
+from .build import (
+    B, K1, IndexPaths, block_upper_bound, load_stats, read_live_segments,
+)
+from .codec import decode_position_stream, varbyte_decode
 
 TOPK_SCHEMA = "doc_id long, score double"
 
@@ -168,6 +170,115 @@ def phrase_topk_df(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def phrase_topk_wand(
+    spark: SparkSession,
+    paths: IndexPaths,
+    phrase: str,
+    k: int,
+) -> DataFrame:
+    """Index-backed phrase top-k: tf = positional phrase frequency computed by
+    intersecting the per-term position lists stored in the segments (Lucene
+    PhraseQuery over .prx), BM25-scored with the phrase's own df/idf.
+
+    This is the scale fix for the one query shape that used to re-tokenize
+    the whole corpus per query (``phrase_topk_df``): the plan here reads ONLY
+    segments.parquet rows for the phrase's distinct terms (term IN (...)
+    pushed to the scan) plus the doclen sidecars — at 10^12 docs a phrase
+    query touches |q| posting lists per segment, never the documents table.
+    Requires an index built with ``positions=True``."""
+    toks = tokenize_py(phrase)
+    m = len(toks)
+    if m == 0:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    if m == 1:
+        return bm25_topk_wand(spark, paths, toks, k, "or")
+    stats = load_stats(paths)
+    if not stats.get("positions"):
+        raise ValueError(
+            "phrase_topk_wand needs a positional index "
+            "(build_segments(..., positions=True))")
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    distinct = list(dict.fromkeys(toks))
+
+    present = (
+        spark.read.parquet(paths.termstats)
+        .where(F.col("term").isin(distinct)).count()
+    )
+    if present < len(distinct):
+        # a phrase containing a zero-df term matches nothing anywhere
+        return spark.createDataFrame([], TOPK_SCHEMA)
+
+    segs = read_live_segments(spark, paths).where(
+        F.col("term").isin(distinct) | F.col("term").isNull()
+    ).select("seg_id", "term", "doc_blob", "tf_blob", "pos_blob")
+
+    phrase_terms = list(toks)  # ordered, with duplicates
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "tf": pd.Series(dtype="int64"),
+                              "dl": pd.Series(dtype="int64")})
+        dl_rows = pdf[pdf["term"].isna()]
+        term_rows = pdf[pdf["term"].notna()]
+        if dl_rows.empty or len(term_rows) < len(distinct):
+            return empty  # conjunction: every distinct term must occur here
+        dl_docs = np.cumsum(
+            varbyte_decode(bytes(dl_rows["doc_blob"].iloc[0]))).astype(np.int64)
+        dl_vals = varbyte_decode(bytes(dl_rows["tf_blob"].iloc[0])).astype(np.int64)
+        plists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for term, dblob, tblob, pblob in zip(
+                term_rows["term"], term_rows["doc_blob"],
+                term_rows["tf_blob"], term_rows["pos_blob"]):
+            docs = np.cumsum(varbyte_decode(bytes(dblob))).astype(np.int64)
+            tfs = varbyte_decode(bytes(tblob)).astype(np.int64)
+            flat, bounds = decode_position_stream(bytes(pblob), tfs)
+            plists[term] = (docs, flat, bounds)
+        # candidate docs: contain every distinct term (sorted intersection)
+        inter = plists[distinct[0]][0]
+        for t in distinct[1:]:
+            inter = np.intersect1d(inter, plists[t][0], assume_unique=True)
+        if inter.size == 0:
+            return empty
+        out_docs, out_tfs = [], []
+        for doc in inter:
+            cand = None
+            for j, t in enumerate(phrase_terms):
+                docs, flat, bounds = plists[t]
+                i = int(np.searchsorted(docs, doc))
+                lo = int(bounds[i - 1]) if i > 0 else 0
+                pos = flat[lo:int(bounds[i])] - j
+                cand = pos if cand is None else np.intersect1d(
+                    cand, pos, assume_unique=True)
+                if cand.size == 0:
+                    break
+            if cand is not None and cand.size:
+                out_docs.append(int(doc))
+                out_tfs.append(int(cand.size))
+        if not out_docs:
+            return empty
+        d = np.asarray(out_docs, dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": d,
+            "tf": np.asarray(out_tfs, dtype=np.int64),
+            "dl": dl_vals[np.searchsorted(dl_docs, d)],
+        })
+
+    hits = segs.groupBy("seg_id").applyInPandas(
+        run, schema="doc_id long, tf long, dl long").cache()
+    dfp = hits.count()
+    if dfp == 0:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    idf = _idf(n_docs, int(dfp))
+    scored = hits.select(
+        "doc_id",
+        (
+            F.lit(idf) * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(float(avgdl))))
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 # --------------------------------------------------------------------------
 # block-max WAND path (compressed segments)
 # --------------------------------------------------------------------------
@@ -175,7 +286,7 @@ def phrase_topk_df(
 def doclen_df(spark: SparkSession, paths: IndexPaths) -> DataFrame:
     """(doc_id, dl) decoded from the per-segment doclen sidecar rows — the
     corpus text is never re-tokenized once an index exists."""
-    segs = spark.read.parquet(paths.segments).where(
+    segs = read_live_segments(spark, paths).where(
         F.col("term").isNull()
     ).select("doc_blob", "tf_blob")
 
@@ -352,8 +463,7 @@ def bm25_topk_wand(
 ) -> DataFrame:
     """Block-max WAND over SPIMI segments → global top-k DataFrame."""
     terms = list(dict.fromkeys(terms))
-    with open(paths.stats) as fh:
-        stats = json.load(fh)
+    stats = load_stats(paths)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
 
     tstats = {
@@ -369,9 +479,13 @@ def bm25_topk_wand(
 
     # single scan: query-term rows + the doclen sidecar row, co-located per
     # segment — the filter pushes to parquet (term IN (...) OR term IS NULL)
-    segs = spark.read.parquet(paths.segments).where(
+    # column pruning matters: pos_blob (when the index is positional) is the
+    # largest column in the segment table and WAND never touches it — the
+    # select keeps it out of the parquet scan entirely
+    segs = read_live_segments(spark, paths).where(
         F.col("term").isin(terms) | F.col("term").isNull()
-    )
+    ).select("seg_id", "term", "doc_blob", "tf_blob",
+             "block_last_doc", "block_max_tf", "block_min_dl")
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),

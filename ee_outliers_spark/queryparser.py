@@ -168,12 +168,27 @@ class _Parser:
                 kind == "word" and val.upper() in ("AND", "OR")
             ):
                 # adjacency → default operator OR (ES query_string default);
-                # a leading NOT/'-' starts a new unary operand ('a NOT b'
-                # is valid ES and means a OR (NOT b))
+                # a leading NOT/'-' starts a new unary operand
                 parts.append(self.and_expr())
             else:
                 break
-        return parts[0] if len(parts) == 1 else Or(parts)
+        if len(parts) == 1:
+            return parts[0]
+        # Lucene bool semantics at the SHOULD level: a NOT-prefixed operand
+        # is a PROHIBITED clause of the enclosing bool query, not one of the
+        # OR alternatives — 'a NOT b' (and 'a OR NOT b') means docs matching
+        # a AND lacking b (SHOULD(a) + MUST_NOT(b); with no MUST clauses at
+        # least one SHOULD must match). Treating it as Or(a, Not(b)) would
+        # admit docs matching neither.
+        pos = [p for p in parts if not isinstance(p, Not)]
+        neg = [p for p in parts if isinstance(p, Not)]
+        if not neg:
+            return Or(parts)
+        out: list = []
+        if pos:
+            out.append(pos[0] if len(pos) == 1 else Or(pos))
+        out.extend(neg)
+        return out[0] if len(out) == 1 else And(out)
 
     def and_expr(self):
         parts = [self.unary()]
@@ -536,7 +551,12 @@ def dsl_to_ast(d: dict):
             parts.extend(dsl_to_ast(c) for c in clauses)
         should = body.get("should", [])
         should = should if isinstance(should, list) else [should]
-        if should:
+        # ES minimum_should_match default: 1 when the bool has should clauses
+        # and NO must/filter clauses, else 0 — with must/filter present,
+        # should clauses only influence scoring and must NOT restrict
+        # matching in filter context.
+        msm = int(body.get("minimum_should_match", 1 if not parts else 0))
+        if should and msm >= 1:
             parts.append(Or([dsl_to_ast(c) for c in should]))
         must_not = body.get("must_not", [])
         must_not = must_not if isinstance(must_not, list) else [must_not]

@@ -42,12 +42,17 @@ class CronSchedule:
         self.hours = _parse_field(f[1], 0, 23)
         self.doms = _parse_field(f[2], 1, 31)
         self.months = _parse_field(f[3], 1, 12)
-        self.dows = _parse_field(f[4], 0, 6)  # 0 = Monday (python weekday)
+        # standard cron (and croniter, which the reference daemon uses)
+        # numbers day-of-week 0-7 with BOTH 0 and 7 = Sunday; normalize to
+        # Sunday-based 0-6 via v % 7
+        self.dows = {v % 7 for v in _parse_field(f[4], 0, 7)}
 
     def matches(self, t: dt.datetime) -> bool:
+        # python weekday(): 0 = Monday … 6 = Sunday → cron Sunday-based
+        cron_dow = (t.weekday() + 1) % 7
         return (t.minute in self.minutes and t.hour in self.hours
                 and t.day in self.doms and t.month in self.months
-                and t.weekday() in self.dows)
+                and cron_dow in self.dows)
 
     def next_fire(self, after: dt.datetime) -> dt.datetime:
         t = after.replace(second=0, microsecond=0) + dt.timedelta(minutes=1)

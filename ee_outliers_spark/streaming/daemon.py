@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..index.build import (
     SEGMENT_SCHEMA, IndexPaths, _pair_stream, _pairs_segment_frame,
-    refresh_stats_and_termstats, write_manifest,
+    load_stats, refresh_stats_and_termstats, write_manifest,
 )
 
 
@@ -53,10 +53,12 @@ def append_segments(
     if base.isEmpty():
         return []
 
+    stats = load_stats(paths)
+    positions = bool(stats.get("positions", False))  # match the base index
     existing = spark.read.parquet(paths.segments)
     base_seg = (existing.agg(F.max("seg_id")).collect()[0][0] or 0) + 1
 
-    pairs = _pair_stream(base, num_segments).withColumn(
+    pairs = _pair_stream(base, num_segments, positions=positions).withColumn(
         "seg_id", (F.lit(base_seg) + F.col("seg_id")).cast("int")
     )
     t0 = time.monotonic()
@@ -70,7 +72,9 @@ def append_segments(
                    {"kind": "incremental_append", "base_seg": base_seg}, wall)
     # stats (n_docs, avgdl) + termstats refresh — old segments stay valid
     # under avgdl drift because block metadata is avgdl-independent
-    refresh_stats_and_termstats(spark, paths)
+    live = stats.get("live_segments")
+    new_live = sorted(set(live) | set(new_ids)) if live is not None else None
+    refresh_stats_and_termstats(spark, paths, live=new_live)
     with open(paths.manifest) as fh:
         done = {json.loads(l)["seg_id"] for l in fh if l.strip()}
     return sorted(s for s in new_ids if s in done)

@@ -16,10 +16,23 @@ def test_cron_daily_midnight():
 
 
 def test_cron_fields():
-    s = CronSchedule("*/15 8-10 * * 0-4")  # Mon-Fri, 8-10h, every 15 min
+    # standard cron dow numbering: 0 = Sunday, so 1-5 = Mon-Fri
+    s = CronSchedule("*/15 8-10 * * 1-5")
     t = s.next_fire(dt.datetime(2024, 1, 6, 9, 0))  # a Saturday
     assert t == dt.datetime(2024, 1, 8, 8, 0)       # Monday 08:00
     assert s.next_fire(dt.datetime(2024, 1, 8, 8, 1)) == dt.datetime(2024, 1, 8, 8, 15)
+
+
+def test_cron_dow_sunday_numbering():
+    """Cron (and croniter, used by the reference daemon) numbers 0 AND 7 as
+    Sunday — '0 0 * * 0' must fire on a Sunday, and '7' must be accepted."""
+    sun = dt.datetime(2024, 1, 7)  # Sunday
+    assert CronSchedule("0 0 * * 0").matches(sun)
+    assert CronSchedule("0 0 * * 7").matches(sun)
+    assert not CronSchedule("0 0 * * 0").matches(dt.datetime(2024, 1, 8))
+    # next Sunday from a Thursday
+    s = CronSchedule("30 6 * * 0")
+    assert s.next_fire(dt.datetime(2024, 1, 4)) == dt.datetime(2024, 1, 7, 6, 30)
 
 
 def test_daemon_loop_injected_clock():

@@ -75,6 +75,66 @@ def test_phrase_rank_identity(phrase, spark, documents, naive, oracle):
     _check(got, oracle.phrase_topk(tokenize_py(phrase), K))
 
 
+@pytest.fixture(scope="module")
+def pos_paths(spark, documents, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index_pos"))
+    return build_segments(spark, documents, "doc_id", "text", out,
+                          num_segments=8, positions=True)
+
+
+@pytest.mark.parametrize("phrase", [
+    "key order", "batch batch", "no such phrase here", "vector"])
+def test_phrase_wand_rank_identity(phrase, spark, pos_paths, oracle):
+    """Index-backed phrase path (positional postings) ≡ the full-corpus
+    re-tokenize oracle, including duplicate-token phrases, single-token
+    degeneration, and the empty phrase."""
+    from ee_outliers_spark.index.query import phrase_topk_wand
+    from ee_outliers_spark.tokenizer import tokenize_py
+
+    got = phrase_topk_wand(spark, pos_paths, phrase, K).collect()
+    _check(got, oracle.phrase_topk(tokenize_py(phrase), K))
+
+
+def test_phrase_wand_requires_positions(spark, seg_paths):
+    from ee_outliers_spark.index.query import phrase_topk_wand
+
+    with pytest.raises(ValueError, match="positional"):
+        phrase_topk_wand(spark, seg_paths, "key order", K)
+
+
+def test_phrase_wand_empty_phrase_matches_nothing(spark, pos_paths):
+    """Lucene semantics: an empty/all-separator phrase is MatchNoDocs."""
+    from ee_outliers_spark.index.query import phrase_topk_wand
+
+    assert phrase_topk_wand(spark, pos_paths, "", K).count() == 0
+    assert phrase_topk_wand(spark, pos_paths, "--- !!", K).count() == 0
+
+
+def test_phrase_wand_survives_append_and_tier_merge(
+        spark, documents, tmp_path_factory, oracle):
+    """Positions flow through incremental appends and LSM tier merges:
+    build half, append half, tier-merge, and the phrase ranks still equal
+    the whole-corpus oracle."""
+    from pyspark.sql import functions as F
+
+    from ee_outliers_spark.index.merge import merge_tier
+    from ee_outliers_spark.index.query import phrase_topk_wand
+    from ee_outliers_spark.streaming.daemon import append_segments
+    from ee_outliers_spark.tokenizer import tokenize_py
+
+    out = str(tmp_path_factory.mktemp("index_pos_inc"))
+    p = build_segments(spark, documents.where(F.col("doc_id") % 2 == 0),
+                       "doc_id", "text", out, num_segments=4, positions=True)
+    append_segments(spark, documents.where(F.col("doc_id") % 2 == 1),
+                    p, num_segments=4)
+    merge_tier(spark, p, fanin=4)
+    got = phrase_topk_wand(spark, p, "key order", K).collect()
+    _check(got, oracle.phrase_topk(tokenize_py("key order"), K))
+    # WAND term queries agree too (live-segment commit point is consistent)
+    got2 = bm25_topk_wand(spark, p, ["customer", "window"], K, "or").collect()
+    _check(got2, oracle.topk(["customer", "window"], K, "or"))
+
+
 def test_wand_multiblock_tied_pivot(spark, tmp_path_factory):
     """Regression: with >128 postings per list (multiple blocks, so block_ub
     < max_score) and cursors TIED on the pivot doc, the block-max upper bound

@@ -55,9 +55,21 @@ def test_range_shapes():
     assert parse_query_string("n_chars:>-5").lo == "-5"
 
 
-def test_not_adjacency():
+def test_not_adjacency_is_prohibited_clause():
+    """Lucene query_string: a NOT clause at the SHOULD level is prohibited —
+    'a NOT b' = docs matching a AND lacking b (never Or(a, Not(b)))."""
     n = parse_query_string("a NOT b")
-    assert isinstance(n, Or) and isinstance(n.parts[1], Not)
+    assert n == And([Term("a"), Not(Term("b"))])
+    # explicit OR NOT folds the same way (classic Lucene behavior)
+    assert parse_query_string("a OR NOT b") == And([Term("a"), Not(Term("b"))])
+    # multiple positives keep their OR, negatives conjoin
+    n = parse_query_string("a b NOT c")
+    assert n == And([Or([Term("a"), Term("b")]), Not(Term("c"))])
+    # pure-negative query: all prohibited
+    assert parse_query_string("NOT a NOT b") == And(
+        [Not(Term("a")), Not(Term("b"))])
+    # AND-level NOT is untouched
+    assert parse_query_string("a AND NOT b") == And([Term("a"), Not(Term("b"))])
 
 
 def test_dsl_subset():
@@ -67,6 +79,19 @@ def test_dsl_subset():
         "must_not": [{"exists": {"field": "source"}}],
     }})
     assert isinstance(ast, And)
+    # ES minimum_should_match default = 0 when must/filter present: the
+    # should clauses must NOT appear in the filter-context translation
+    assert not any(isinstance(p, Or) for p in ast.parts)
+    # ...but an explicit minimum_should_match >= 1 restores the requirement
+    ast2 = dsl_to_ast({"bool": {
+        "filter": [{"range": {"n_chars": {"gte": 1}}}],
+        "should": [{"term": {"lang": "en"}}],
+        "minimum_should_match": 1,
+    }})
+    assert any(isinstance(p, (Or, FieldEq)) for p in ast2.parts[1:])
+    # should alone: minimum_should_match defaults to 1 → restricts
+    ast3 = dsl_to_ast({"bool": {"should": [{"term": {"lang": "en"}}]}})
+    assert ast3 == Or([FieldEq("lang", "en")])
     assert dsl_to_ast({"match_all": {}}) == MatchAll()
     qs = dsl_to_ast({"query_string": {"query": "lang:en"}})
     assert qs == FieldEq("lang", "en")
@@ -92,6 +117,8 @@ QUERIES = [
     "n_chars:[* TO 150] AND lang:en",
     "n_chars:>=250 OR n_chars:<50",
     "fast NOT lang:de",
+    "fast NOT slow",
+    "fast slow NOT zebra",
 ]
 
 DSL_QUERIES = [
