@@ -164,12 +164,25 @@ def run_analyzer(
     ts_col: str | None = None,
     history: tuple[dt.datetime, dt.datetime] | None = None,
     key_col: str = "doc_id",
+    index=None,
 ) -> DataFrame:
-    """Execute one spec → outlier rows + (outlier_type/reason/summary)."""
+    """Execute one spec → outlier rows + (outlier_type/reason/summary).
+
+    ``index`` (an index.build.IndexPaths for the df's corpus) makes every
+    es_query_filter compile through the posting lists (index/filter.py) —
+    single-token text atoms become posting semi-joins instead of per-row
+    regex scans, exactly like the gated filter-context path. Without it the
+    runner falls back to the regex compilation (small corpora / no index)."""
     work = df
     if spec.es_query_filter and spec.model_type != "simplequery":
         node = parse_query_string(spec.es_query_filter)
-        work = work.where(to_spark_predicate(node, text_col, df.columns))
+        if index is not None:
+            from .index.filter import indexed_filter
+
+            work = indexed_filter(df.sparkSession, index, work, key_col,
+                                  text_col, node, df.columns)
+        else:
+            work = work.where(to_spark_predicate(node, text_col, df.columns))
     if ts_col and history:
         work = work.where(F.col(ts_col).between(*history))
 
@@ -177,7 +190,8 @@ def run_analyzer(
               whitelist_regexps=spec.whitelist_regexps or None)
     if spec.model_type == "simplequery":
         out = simplequery_outliers(work, spec.es_query_filter or "*",
-                                   text_col=text_col)
+                                   text_col=text_col, key_col=key_col,
+                                   index=index)
         if spec.highlight_match and spec.es_query_filter:
             # ref highlight_match (es.py:567-587 + simplequery.py:83-93):
             # <value>-wrapped fragment + the extracted matched values
@@ -252,10 +266,12 @@ def run_all(
     history: tuple[dt.datetime, dt.datetime] | None = None,
     detected_ts: dt.datetime | None = None,
     stats: list | None = None,
+    index=None,
 ) -> dict[str, int]:
     """One daemon tick: run every enabled spec; MERGE into the OutlierStore.
     Returns {model_name: n_new_outliers}. Pass ``stats=[]`` to collect
-    per-model run records for ``analysis_summary``."""
+    per-model run records for ``analysis_summary``; ``index`` routes every
+    spec's es_query_filter through the posting lists (see run_analyzer)."""
     import time as _time
 
     results = {}
@@ -264,7 +280,7 @@ def run_all(
             continue
         _t0 = _time.monotonic()
         out = run_analyzer(df, spec, text_col=text_col, ts_col=ts_col,
-                           history=history, key_col=key_col)
+                           history=history, key_col=key_col, index=index)
         if store is not None:
             staged = out.select(
                 F.col(key_col).cast("string").alias("doc_key"),

@@ -22,10 +22,11 @@ from pyspark.sql import SparkSession
 
 from .build import IndexPaths, build_segments
 
-#: bump when the segment schema / codec / tokenizer changes — stale on-disk
-#: caches from an older code version must not be reused
-#: (v4: pos_blob positional postings + live_segments commit point)
-FORMAT_VERSION = 4
+#: bump when the segment schema / codec / tokenizer / hash family changes —
+#: stale on-disk caches from an older code version must not be reused
+#: (v4: pos_blob positional postings + live_segments commit point;
+#:  v5: LSH planes switched to md5-derived ±1 signs)
+FORMAT_VERSION = 5
 
 _CACHE: dict[str, IndexPaths | str] = {}
 

@@ -387,10 +387,172 @@ class _TermCursor:
         return self.idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
 
+def _topk_merge(cur_s: np.ndarray, cur_d: np.ndarray,
+                s: np.ndarray, d: np.ndarray, k: int):
+    """Merge candidate (score, doc) arrays into a running top-k kept as two
+    numpy arrays ordered (score desc, doc asc)."""
+    cs = np.concatenate([cur_s, s])
+    cd = np.concatenate([cur_d, d])
+    order = np.lexsort((cd, -cs))[:k]
+    return cs[order], cd[order]
+
+
+def _single_term_segment(c: _TermCursor, k: int, avgdl: float
+                         ) -> list[tuple[int, float]]:
+    """Single-cursor top-k, vectorized per 128-block with block-max pruning:
+    blocks are visited in DESCENDING upper-bound order and the scan stops as
+    soon as a block's bound cannot beat the running threshold — the same
+    skip guarantee as WAND, but each surviving block is scored in one numpy
+    pass instead of one interpreted Python iteration per posting (the round-2
+    head-query regression was exactly this loop)."""
+    nblk = len(c.block_max)
+    cur_s = np.empty(0, np.float64)
+    cur_d = np.empty(0, np.int64)
+    theta = -np.inf
+    for b in np.argsort(-np.asarray(c.block_max), kind="stable"):
+        if len(cur_s) == k and c.block_max[b] < theta:
+            break  # sorted desc: nothing later can beat the heap either
+        c._load(int(b))
+        scores = c.idf * _impact_np(c.blk_tfs, c.blk_dls, avgdl)
+        cur_s, cur_d = _topk_merge(cur_s, cur_d, scores, c.blk_docs, k)
+        if len(cur_s) == k:
+            theta = cur_s[-1]
+    return list(zip(cur_d.tolist(), cur_s.tolist()))
+
+
+def _impact_np(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
+
+
+def _gather_tfs(c: _TermCursor, cand: np.ndarray) -> np.ndarray:
+    """tf for each candidate docID (0 = absent), decoding ONLY the blocks a
+    candidate lands in (block_last_doc skip pointers, vectorized): the
+    classic conjunction pattern — iterate the smallest list, skip-probe the
+    big ones — so a head-term list is never fully decompressed."""
+    out = np.zeros(len(cand), dtype=np.int64)
+    nb = np.searchsorted(c.block_last, cand, side="left")
+    inside = nb < len(c.block_last)
+    for b in np.unique(nb[inside]):
+        sel = np.flatnonzero(nb == b)
+        c._load(int(b))
+        idx = np.searchsorted(c.blk_docs, cand[sel])
+        ok = idx < len(c.blk_docs)
+        ok[ok] &= c.blk_docs[idx[ok]] == cand[sel][ok]
+        out[sel[ok]] = c.blk_tfs[idx[ok]]
+    return out
+
+
+def _and_segment(cursors: list[_TermCursor], k: int, avgdl: float
+                 ) -> list[tuple[int, float]]:
+    """Conjunctive top-k, vectorized: decode the SMALLEST posting list in
+    full, skip-probe every other list for those candidates only (block-level
+    decode via _gather_tfs), then score the surviving intersection in one
+    numpy pass. Conjunction selectivity means candidates ≤ min(df) — the
+    rare term bounds the work, the head term is probed, never scanned."""
+    base = min(cursors, key=lambda c: c.n)
+    cand = np.cumsum(varbyte_decode(base.doc_blob)).astype(np.int64)
+    tfs = {id(base): varbyte_decode(base.tf_blob).astype(np.int64)}
+    for c in cursors:
+        if c is base:
+            continue
+        t = _gather_tfs(c, cand)
+        keep = t > 0
+        cand = cand[keep]
+        for key in tfs:
+            tfs[key] = tfs[key][keep]
+        tfs[id(c)] = t[keep]
+        if cand.size == 0:
+            return []
+    dls = base.dl_vals[np.searchsorted(base.dl_docs, cand)]
+    score = np.zeros(len(cand), dtype=np.float64)
+    for c in cursors:
+        score += c.idf * _impact_np(tfs[id(c)], dls, avgdl)
+    order = np.lexsort((cand, -score))[:k]
+    return list(zip(cand[order].tolist(), score[order].tolist()))
+
+
+def _or_segment(cursors: list[_TermCursor], k: int, avgdl: float
+                ) -> list[tuple[int, float]]:
+    """Vectorized block-max WAND for multi-term disjunctions.
+
+    The doc space is partitioned into chunks on the densest cursor's
+    128-posting block grid; each chunk's upper bound is Σ over cursors of the
+    max block-max overlapping it (every block contributes to every chunk it
+    overlaps, so the bound is safe). Chunks are visited in DESCENDING bound
+    order — θ rises as fast as possible — and processing stops at the first
+    chunk whose bound is strictly below θ: the same skip guarantee as the
+    document-at-a-time WAND loop (kept as the differential reference in
+    ``_wand_segment``), but each surviving chunk is scored in one numpy pass
+    (gather → impact → unique-accumulate → top-k merge) instead of one
+    interpreted Python iteration per pivot. At 600k docs this turned the
+    4-term disjunction from seconds of pure-Python pivot walking into
+    milliseconds of numpy."""
+    decoded = []
+    for c in cursors:
+        docs = np.cumsum(varbyte_decode(c.doc_blob)).astype(np.int64)
+        tfs = varbyte_decode(c.tf_blob).astype(np.int64)
+        dls = c.dl_vals[np.searchsorted(c.dl_docs, docs)]
+        decoded.append((c, docs, c.idf * _impact_np(tfs, dls, avgdl)))
+
+    dense = max(cursors, key=lambda c: c.n)
+    grid = np.asarray(dense.block_last, dtype=np.int64)
+    max_doc = max(int(d[-1]) for _, d, _ in decoded if len(d))
+    if len(grid) == 0 or grid[-1] < max_doc:
+        grid = np.append(grid, max_doc)
+    m = len(grid)
+
+    tot_ub = np.zeros(m, dtype=np.float64)
+    for c in cursors:
+        bl = np.asarray(c.block_last, dtype=np.int64)
+        if len(bl) == 0:
+            continue
+        first_doc = np.concatenate(([0], bl[:-1] + 1))
+        j_start = np.searchsorted(grid, first_doc, side="left")
+        j_end = np.searchsorted(grid, bl, side="left")
+        cub = np.zeros(m, dtype=np.float64)
+        idx = np.concatenate(
+            [np.arange(s, e + 1) for s, e in zip(j_start, j_end)])
+        vals = np.repeat(np.asarray(c.block_max, dtype=np.float64),
+                         j_end - j_start + 1)
+        np.maximum.at(cub, idx, vals)
+        tot_ub += cub
+
+    cur_s = np.empty(0, np.float64)
+    cur_d = np.empty(0, np.int64)
+    theta = -np.inf
+    for j in np.argsort(-tot_ub, kind="stable"):
+        if len(cur_s) == k and tot_ub[j] < theta:
+            break  # descending bounds: every later chunk is below θ too
+        lo = int(grid[j - 1]) + 1 if j > 0 else 0
+        hi = int(grid[j])
+        parts_d, parts_s = [], []
+        for _c, docs, impacts in decoded:
+            a = np.searchsorted(docs, lo, side="left")
+            b = np.searchsorted(docs, hi, side="right")
+            if a < b:
+                parts_d.append(docs[a:b])
+                parts_s.append(impacts[a:b])
+        if not parts_d:
+            continue
+        d = np.concatenate(parts_d)
+        s = np.concatenate(parts_s)
+        ud, inv = np.unique(d, return_inverse=True)
+        us = np.zeros(len(ud), dtype=np.float64)
+        np.add.at(us, inv, s)
+        cur_s, cur_d = _topk_merge(cur_s, cur_d, us, ud, k)
+        if len(cur_s) == k:
+            theta = cur_s[-1]
+    return list(zip(cur_d.tolist(), cur_s.tolist()))
+
+
 def _wand_segment(
     cursors: list[_TermCursor], k: int, avgdl: float, mode: str
 ) -> list[tuple[int, float]]:
-    """Document-at-a-time WAND with block-max refinement over one segment."""
+    """Document-at-a-time WAND with block-max refinement over one segment.
+    Kept as the differential reference for the vectorized paths
+    (``_single_term_segment`` / ``_and_segment`` / ``_or_segment``) — the
+    per-pivot Python loop is exact but interpreter-bound on big segments."""
     heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of size k
     theta = 0.0
     n_req = len(cursors) if mode == "and" else 1
@@ -510,7 +672,17 @@ def bm25_topk_wand(
             ))
         if mode == "and" and len(cursors) < len(idfs):
             return empty
-        res = _wand_segment(cursors, k, avgdl, mode)
+        # dispatch by query shape (all three exact, rank-identical):
+        #  - 1 term        → vectorized block-ordered top-k (block-max kept)
+        #  - conjunction   → vectorized smallest-list intersection with
+        #                    block-skip probes into the longer lists
+        #  - disjunction   → document-at-a-time block-max WAND
+        if len(cursors) == 1:
+            res = _single_term_segment(cursors[0], k, avgdl)
+        elif mode == "and":
+            res = _and_segment(cursors, k, avgdl)
+        else:
+            res = _or_segment(cursors, k, avgdl)
         return pd.DataFrame(res, columns=["doc_id", "score"])
 
     local = segs.groupBy("seg_id").applyInPandas(run, schema=TOPK_SCHEMA)

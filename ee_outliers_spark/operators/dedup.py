@@ -336,27 +336,101 @@ def embedding_neardup_pairs(
     vec_col: str,
     bucket_col: str,
     threshold: float = 0.95,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Cosine ≥ τ pairs within buckets (e.g. a cluster/label/LSH bucket).
-    (id1, id2, cosine). Bucketing keeps the self-join from going all-pairs."""
+    """Cosine ≥ τ pairs within buckets (e.g. a cluster/label/LSH bucket),
+    EXACT within each bucket. (id1, id2, cosine).
+
+    Skew-safe block-pair self-join: each vector is hashed into one of
+    ``n_blocks`` blocks inside its bucket and each task compares one
+    (block_i ≤ block_j) pair, so a dominant bucket's m²/2 comparisons spread
+    over n_blocks·(n_blocks+1)/2 join keys instead of landing on one reducer
+    — the quadratic WORK is inherent to an exact guarantee, but no single
+    task is quadratic in the dominant bucket anymore. For an approximate
+    scale path with hash-bounded buckets see ``embedding_neardup_lsh``."""
     v = df.select(
         F.col(id_col).alias("_id"),
         F.col(bucket_col).alias("_b"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
     norm = F.sqrt(F.aggregate("_v", F.lit(0.0), lambda acc, x: acc + x * x))
+    v = v.withColumn("_n", norm).where(F.col("_n") > 0).withColumn(
+        "_blk", F.pmod(F.xxhash64("_id"), F.lit(n_blocks)).cast("int")
+    )
+    # left role: a row in block i serves every pair (i, j≥i);
+    # right role: a row in block j serves every pair (i≤j, j)
+    blocks = F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    a = v.withColumn("_j", F.explode(F.filter(
+        blocks, lambda j: j >= F.col("_blk")))).withColumnRenamed("_blk", "_i")
+    b = v.withColumn("_i", F.explode(F.filter(
+        blocks, lambda i: i <= F.col("_blk")))).withColumnRenamed("_blk", "_j")
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    same_block = F.col("a._i") == F.col("a._j")
+    pairs = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a._b") == F.col("b._b"))
+        & (F.col("a._i") == F.col("b._i")) & (F.col("a._j") == F.col("b._j"))
+        # same block pair: order inside; cross pair: every (a from i, b from j)
+        # combination is a distinct unordered pair already
+        & (F.when(same_block, F.col("a._id") < F.col("b._id"))
+           .otherwise(F.col("a._id") != F.col("b._id"))),
+    ).select(
+        F.least(F.col("a._id"), F.col("b._id")).alias("id1"),
+        F.greatest(F.col("a._id"), F.col("b._id")).alias("id2"),
+        (dot / (F.col("a._n") * F.col("b._n"))).alias("cosine"),
+    )
+    # cross-block pairs appear once per (i,j) key; same least/greatest ids
+    return pairs.where(F.col("cosine") >= threshold).dropDuplicates(
+        ["id1", "id2"])
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_bits: int = 12,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs with NO bucket column: candidates are
+    pairs sharing at least one random-hyperplane LSH bucket (hash-bounded
+    bucket sizes — no label skew can degenerate the join), then exact-cosine
+    verified. (id1, id2, cosine). Recall is governed by bits/tables: a pair
+    at cosine τ collides per table with prob (1 - arccos(τ)/π)^n_bits; at
+    τ=0.9 / 12 bits that is ≈0.66, so 8 tables give ≈1-(1-.66)^8 ≈ 0.9999.
+    This is the 100-TB path: candidate generation is n·n_tables rows, never
+    all-pairs, and dominant semantic clusters split across code buckets."""
+    from .similarity import lsh_codes_col
+
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    norm = F.sqrt(F.aggregate("_v", F.lit(0.0), lambda acc, x: acc + x * x))
     v = v.withColumn("_n", norm).where(F.col("_n") > 0)
-    a, b = v.alias("a"), v.alias("b")
+    coded = v.select(
+        "_id", "_v", "_n",
+        F.posexplode(lsh_codes_col("_v", dim=None, n_bits=n_bits,
+                                   n_tables=n_tables, seed=seed)
+                     ).alias("_t", "_code"),
+    )
+    a, b = coded.alias("a"), coded.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     pairs = a.join(
-        b, (F.col("a._b") == F.col("b._b")) & (F.col("a._id") < F.col("b._id"))
+        b,
+        (F.col("a._t") == F.col("b._t")) & (F.col("a._code") == F.col("b._code"))
+        & (F.col("a._id") < F.col("b._id")),
     ).select(
-        F.col("a._id").alias("id1"),
-        F.col("b._id").alias("id2"),
+        F.col("a._id").alias("id1"), F.col("b._id").alias("id2"),
         (dot / (F.col("a._n") * F.col("b._n"))).alias("cosine"),
-    )
+    ).dropDuplicates(["id1", "id2"])
     return pairs.where(F.col("cosine") >= threshold)

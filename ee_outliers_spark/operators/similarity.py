@@ -57,16 +57,61 @@ def cosine_topk(df: DataFrame, id_col: str, vec_col: str,
 
 
 # --- random-hyperplane LSH (indexed) --------------------------------------------
+#
+# Hyperplanes are ±1 sign matrices derived from md5 (Achlioptas-style random
+# projections — database-friendly JL: binary coins do the job of Gaussians).
+# md5 instead of a numpy RNG makes every code ENGINE-INDEPENDENT: the DuckDB
+# oracle recomputes the identical codes/buckets/candidates from SQL alone,
+# so the whole ANN pipeline is exactly oracled (same trick as the minhash/
+# simhash gates).
 
-def _planes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_bits, dim))
+
+def _md5_sign(key: str) -> int:
+    import hashlib as _hl
+
+    return 1 if int(_hl.md5(key.encode()).hexdigest()[-1], 16) % 2 else -1
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
 def _all_planes(dim: int, n_bits: int, n_tables: int, seed: int) -> np.ndarray:
-    """(n_tables, n_bits, dim) — per-table planes, deterministic per seed."""
-    return np.stack([_planes(dim, n_bits, seed + 1000 * t)
-                     for t in range(n_tables)])
+    """(n_tables, n_bits, dim) ±1 planes, deterministic & engine-independent:
+    sign(t,b,d) = +1 iff the last hex digit of md5('{seed}:{t}:{b}:{d}') is
+    odd (DuckDB twin: right(md5(...),1) IN ('1','3','5','7','9','b','d','f'))."""
+    out = np.empty((n_tables, n_bits, dim), dtype=np.float64)
+    for t in range(n_tables):
+        for b in range(n_bits):
+            for d in range(dim):
+                out[t, b, d] = _md5_sign(f"{seed}:{t}:{b}:{d}")
+    return out
+
+
+def lsh_codes_col(vec_col, dim: int | None, n_bits: int, n_tables: int,
+                  seed: int):
+    """array<long> of per-table bucket codes for a vector column — one Arrow
+    pass, a single (batch, dim) × (dim, n_tables·n_bits) matmul per batch."""
+    colref = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    @F.pandas_udf("array<long>")
+    def codes_udf(vecs: pd.Series) -> pd.Series:
+        d = dim
+        if d is None:
+            probe = next((v for v in vecs if v is not None), None)
+            d = len(probe) if probe is not None else 1
+        flat = _all_planes(d, n_bits, n_tables, seed).reshape(
+            n_tables * n_bits, d)
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) if v is not None
+             else np.zeros(d) for v in vecs]
+        )
+        if len(mat) == 0:
+            return pd.Series([], dtype=object)
+        signs = (mat @ flat.T >= 0).reshape(len(mat), n_tables, n_bits)
+        return pd.Series(list(_pack_codes(signs)))
+
+    return codes_udf(colref)
 
 
 def _pack_codes(signs: np.ndarray) -> np.ndarray:
@@ -90,21 +135,11 @@ def build_lsh_index(
     bucket's row groups. One Arrow pass computes all n_tables codes per row
     (a single (n, dim) × (dim, n_tables·n_bits) matmul per batch — never
     per-row Python, never array-HOF lambdas)."""
-    planes = _all_planes(dim, n_bits, n_tables, seed)
-    flat = planes.reshape(n_tables * n_bits, dim)
-
-    @F.pandas_udf("array<long>")
-    def codes_udf(vecs: pd.Series) -> pd.Series:
-        mat = np.asarray(
-            [np.asarray(v, dtype=np.float64) if v is not None
-             else np.zeros(dim) for v in vecs]
-        )
-        signs = (mat @ flat.T >= 0).reshape(len(mat), n_tables, n_bits)
-        return pd.Series(list(_pack_codes(signs)))
-
     coded = df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.posexplode(codes_udf(F.col(vec_col))).alias("t", "code"),
+        F.posexplode(
+            lsh_codes_col(vec_col, dim, n_bits, n_tables, seed)
+        ).alias("t", "code"),
     )
     (
         coded.repartition("t")

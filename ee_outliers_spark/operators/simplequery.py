@@ -34,12 +34,21 @@ def simplequery_outliers(
     ts_to=None,
     prior_results: DataFrame | None = None,
     key_col: str = "doc_id",
+    index=None,
 ) -> DataFrame:
     """Matched docs (each one an outlier). ``prior_results`` with ``key_col``
-    reproduces the must_not already-tagged exclusion as a left-anti join."""
+    reproduces the must_not already-tagged exclusion as a left-anti join.
+    ``index`` (an IndexPaths) routes single-token text atoms through the
+    posting lists instead of regex-scanning the corpus — the same plan the
+    gated filter-context queries use (index/filter.py)."""
     node = parse_query_string(query_string)
-    pred = to_spark_predicate(node, text_col, df.columns)
-    out = df.where(pred)
+    if index is not None:
+        from ..index.filter import indexed_filter
+
+        out = indexed_filter(df.sparkSession, index, df, key_col, text_col,
+                             node, df.columns)
+    else:
+        out = df.where(to_spark_predicate(node, text_col, df.columns))
     if ts_col is not None and ts_from is not None:
         out = out.where(F.col(ts_col) >= ts_from)
     if ts_col is not None and ts_to is not None:

@@ -54,9 +54,36 @@ def expand_multivalued(df: DataFrame, cols: list[str]) -> DataFrame:
     return out
 
 
+def _unflattenable(dt) -> bool:
+    """True when a field's TYPE can never flatten to a sentence under the
+    reference's flatten_sentence rule (ref X10, app/helpers/utils.py:160-184):
+    a dict, or a list containing lists/dicts, yields None — the sentence is
+    dropped. Spark columns are uniformly typed, so the per-value Python rule
+    becomes a per-column type rule: struct/map, or array whose element is
+    array/struct/map, can never produce a sentence."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, (StructType, MapType)):
+        return True
+    if isinstance(dt, ArrayType):
+        return isinstance(dt.elementType, (ArrayType, StructType, MapType))
+    return False
+
+
 def _prepare(df: DataFrame, groups: list[str], target: str) -> DataFrame:
     """Client-side existence skip (ref F8 terms.py:112-120): drop rows missing
-    aggregator or target fields; array-typed fields expand to sentences."""
+    aggregator or target fields; array-typed fields expand to sentences;
+    nested-typed fields (array-of-array/dict — ref X10) drop every sentence,
+    exactly like flatten_sentence returning None."""
+    names = set(df.schema.fieldNames())
+    if any(c in names and _unflattenable(df.schema[c].dataType)
+           for c in [*groups, target]):
+        out = df.where(F.lit(False))
+        for c in [*groups, target]:
+            if c in names and _unflattenable(df.schema[c].dataType):
+                out = out.withColumn(c, F.lit(None).cast("string"))
+        return out.withColumn("aggregator", F.lit(None).cast("string")
+                              ).withColumn("target", F.lit(None).cast("string"))
     out = expand_multivalued(df, [*groups, target])
     out = out.dropna(subset=[*groups, target])
     return out.withColumn("aggregator", aggregator_col(groups)).withColumn(

@@ -105,6 +105,97 @@ def prob_model(pairs: DataFrame) -> DataFrame:
     )
 
 
+NN_SCHEMA = "aggregator string, center string, ctx string, p double"
+
+
+def nn_model(
+    pairs: DataFrame,
+    embedding_size: int = 40,
+    num_epochs: int = 1,
+    learning_rate: float = 0.001,
+    seed: int = 42,
+    train_batch_size: int = 16,
+) -> DataFrame:
+    """(aggregator, center, ctx, p) from the TRAINED skip-gram network — the
+    reference's default word2vec path (use_prob_model=0; app/analyzers/
+    ml_models/word2vec.py:262-343: nn.Embedding(V,E) → nn.Linear(E,V),
+    CrossEntropyLoss, Adam, train_batch_size=16). Torch isn't available in
+    this environment, so the identical network — full-softmax skip-gram with
+    dense Adam — is trained in numpy inside one applyInPandas task per
+    aggregator (models are per-aggregator in the reference too, so task
+    memory = one vocab²-free model: V×E + E×V floats). p = softmax prob of
+    each OBSERVED (center, ctx) pair, the same quantity eval_loop emits;
+    downstream scoring/frontier machinery is shared with prob_model.
+    Deterministic per seed; numerically ≈ torch (same architecture, loss,
+    optimizer — initializer RNG differs, so parity is behavioral, pinned in
+    tests by outlier-set agreement, not bitwise)."""
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def train_eval(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        agg = key[0]
+        # deterministic sample order (DataLoader without shuffle walks the
+        # model_inputs order: text, center pos, context pos)
+        pdf = pdf.sort_values(["text_id", "i", "j"], kind="stable")
+        words = pd.unique(pd.concat([pdf["center"], pdf["ctx"]], ignore_index=True))
+        words = np.sort(words)
+        wid = {w: i for i, w in enumerate(words)}
+        V = len(words)
+        c_ids = pdf["center"].map(wid).to_numpy(dtype=np.int64)
+        x_ids = pdf["ctx"].map(wid).to_numpy(dtype=np.int64)
+
+        rng = np.random.default_rng(seed)
+        E = rng.standard_normal((V, embedding_size))     # ≈ nn.Embedding init
+        lim = 1.0 / np.sqrt(embedding_size)              # ≈ nn.Linear init
+        W = rng.uniform(-lim, lim, (embedding_size, V))
+        bb = rng.uniform(-lim, lim, V)
+        params = [E, W, bb]
+        mom = [np.zeros_like(p) for p in params]
+        vel = [np.zeros_like(p) for p in params]
+        t = 0
+        for _ in range(num_epochs):
+            for s in range(0, len(c_ids), train_batch_size):
+                c = c_ids[s:s + train_batch_size]
+                y = x_ids[s:s + train_batch_size]
+                H = E[c]
+                logits = H @ W + bb
+                logits -= logits.max(axis=1, keepdims=True)
+                p = np.exp(logits)
+                p /= p.sum(axis=1, keepdims=True)
+                gl = p
+                gl[np.arange(len(c)), y] -= 1.0
+                gl /= len(c)                              # CE mean reduction
+                gE = np.zeros_like(E)
+                np.add.at(gE, c, gl @ W.T)
+                grads = [gE, H.T @ gl, gl.sum(axis=0)]
+                t += 1
+                for pr, g, m, v in zip(params, grads, mom, vel):
+                    m += (1 - b1) * (g - m)
+                    v += (1 - b2) * (g * g - v)
+                    pr -= (learning_rate * (m / (1 - b1 ** t))
+                           / (np.sqrt(v / (1 - b2 ** t)) + eps))
+        # eval: softmax prob for each observed distinct (center, ctx)
+        dedup = pdf[["center", "ctx"]].drop_duplicates()
+        cu = dedup["center"].map(wid).to_numpy(dtype=np.int64)
+        xu = dedup["ctx"].map(wid).to_numpy(dtype=np.int64)
+        probs = np.empty(len(cu), dtype=np.float64)
+        for cid in np.unique(cu):
+            logits = E[cid] @ W + bb
+            logits -= logits.max()
+            sm = np.exp(logits)
+            sm /= sm.sum()
+            sel = cu == cid
+            probs[sel] = sm[xu[sel]]
+        return pd.DataFrame({
+            "aggregator": agg, "center": dedup["center"].to_numpy(),
+            "ctx": dedup["ctx"].to_numpy(), "p": probs,
+        })
+
+    return pairs.groupBy("aggregator").applyInPandas(train_eval, NN_SCHEMA)
+
+
 def _mean_col(col: str, geo: bool):
     """Geometric (exp∘mean∘log) or arithmetic mean aggregate — the
     reference's ``mean(list, use_geo_mean)`` (ml_models/word2vec.py)."""
@@ -114,6 +205,7 @@ def _mean_col(col: str, geo: bool):
 def _scored_pairs(
     df: DataFrame, groups: list[str], text_id: str, text_col: str,
     window: int, max_voc_size: int, min_voc_occurrence: int,
+    use_prob_model: bool = True, nn_params: dict | None = None,
 ) -> DataFrame:
     toks = tokens_positions(df, groups, text_id, text_col)
     voc = vocabulary(toks, max_voc_size, min_voc_occurrence)
@@ -121,7 +213,8 @@ def _scored_pairs(
         "aggregator", "text_id", "pos", "voc_word"
     )
     pairs = skipgram_pairs(toks_voc, window)
-    model = prob_model(pairs)
+    model = (prob_model(pairs) if use_prob_model
+             else nn_model(pairs, **(nn_params or {})))
     return pairs.join(model, ["aggregator", "center", "ctx"])
 
 
@@ -223,12 +316,17 @@ def text_scores(
     window: int = 2,
     max_voc_size: int = 6000,
     min_voc_occurrence: int = 1,
+    use_prob_model: bool = True,
+    nn_params: dict | None = None,
 ) -> DataFrame:
     """(aggregator, text_id, score): geometric mean over word-occurrence
     center scores, each the arithmetic mean of its context probabilities
-    (the reference's default shape: trigger_score=center, geo text mean)."""
+    (the reference's default shape: trigger_score=center, geo text mean).
+    ``use_prob_model=False`` swaps the counting model for the trained
+    skip-gram network (nn_model), the reference's own default."""
     scored = _scored_pairs(df, groups, text_id, text_col, window,
-                           max_voc_size, min_voc_occurrence)
+                           max_voc_size, min_voc_occurrence,
+                           use_prob_model, nn_params)
     word_scores = scored.groupBy("aggregator", "text_id", "i").agg(
         F.avg("p").alias("word_score")
     )
@@ -248,9 +346,12 @@ def word2vec_outliers(
     window: int = 2,
     max_voc_size: int = 6000,
     min_voc_occurrence: int = 1,
+    use_prob_model: bool = True,
+    nn_params: dict | None = None,
 ) -> DataFrame:
     scores = text_scores(
-        df, groups, text_id, text_col, window, max_voc_size, min_voc_occurrence
+        df, groups, text_id, text_col, window, max_voc_size,
+        min_voc_occurrence, use_prob_model, nn_params,
     )
     flagged = flag_outliers(
         scores, ["aggregator"], "score",

@@ -204,3 +204,38 @@ def test_sudden_appearance_semantics(spark):
     assert 2 in {e for e, _ in flagged}
     assert 3 not in {e for e, _ in flagged}
     assert 1 not in {e for e, _ in flagged}
+
+
+def test_nested_field_drops_sentence_x10(spark):
+    """Ref X10 (app/helpers/utils.py:160-184): a dict, or a list containing
+    lists/dicts, flattens to None — every sentence touching such a field is
+    dropped. Array-of-scalars still expands (X11)."""
+    from ee_outliers_spark.operators.terms import terms_outliers
+
+    rows = [
+        (1, "g1", [["a", "b"], ["c"]]),
+        (2, "g1", [["d"]]),
+        (3, "g2", [["e"], ["f"]]),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, grp string, tgt array<array<string>>")
+    out = terms_outliers(df, ["grp"], "tgt", "across_aggregators",
+                         "float", 99.0, "low")
+    assert out.count() == 0  # nested list target → no sentences at all
+
+    # struct-typed aggregator behaves the same (dict → None)
+    df2 = spark.createDataFrame(
+        [(1, ("x", 1), "t1"), (2, ("y", 2), "t2")],
+        "event_id long, grp struct<a:string,b:long>, tgt string")
+    out2 = terms_outliers(df2, ["grp"], "tgt", "across_aggregators",
+                          "float", 99.0, "low")
+    assert out2.count() == 0
+
+    # control: flat scalars with the same shape DO produce sentences
+    # (t1 appears in 2 aggregators, t2 in 1 → t2 is below the float-2 frontier)
+    df3 = spark.createDataFrame(
+        [(1, "g1", "t1"), (2, "g2", "t1"), (3, "g2", "t2")],
+        "event_id long, grp string, tgt string")
+    out3 = terms_outliers(df3, ["grp"], "tgt", "across_aggregators",
+                          "float", 2.0, "low")
+    assert out3.count() > 0

@@ -216,3 +216,61 @@ def test_run_all_into_store(spark, tmp_path):
     assert sum(counts2.values()) == 0
     df = store.read()
     assert df.where("model_name = 'simplequery_powershell_hidden'").count() == 1
+
+
+def test_ini_runner_uses_index(spark, documents, tmp_path):
+    """The production INI path compiles es_query_filter through the posting
+    lists when an index is supplied: the physical plan scans segments.parquet
+    and contains NO rlike for single-token terms — the engine's machinery
+    reaches the product entry point, not just the gates."""
+    import textwrap as _tw
+
+    from ee_outliers_spark.index.build import build_segments
+    from ee_outliers_spark.queryparser import parse_query_string, to_spark_predicate
+
+    idx = build_segments(spark, documents, "doc_id", "text",
+                         str(tmp_path / "idx"), num_segments=4)
+    p = tmp_path / "cases.conf"
+    p.write_text(_tw.dedent("""
+        [simplequery_window_en]
+        es_query_filter=window AND customer AND _exists_:lang
+        outlier_summary=windowed doc {doc_id}
+        run_model=1
+
+        [terms_rare_source_filtered]
+        es_query_filter=window AND batch
+        aggregator=lang
+        target=source
+        target_count_method=across_aggregators
+        trigger_on=low
+        trigger_method=float
+        trigger_sensitivity=99
+        run_model=1
+    """))
+    specs = load_use_cases(str(p))
+    sq, tm = specs
+
+    out = run_analyzer(documents, sq, text_col="text", key_col="doc_id",
+                       index=idx)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rlike" not in plan.lower()
+    assert "segments.parquet" in plan or "seg_id" in plan
+    # identical rows to the regex compilation
+    node = parse_query_string(sq.es_query_filter)
+    want = sorted(r["doc_id"] for r in documents.where(
+        to_spark_predicate(node, "text", documents.columns)
+    ).select("doc_id").collect())
+    got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert got == want and got
+
+    # non-simplequery analyzers route their filter through the index too
+    out2 = run_analyzer(documents, tm, text_col="text", key_col="doc_id",
+                        index=idx)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "rlike" not in plan2.lower()
+    assert out2.count() >= 0  # executes
+
+    # run_all forwards the index
+    res = run_all(documents, [sq], key_col="doc_id", text_col="text",
+                  index=idx)
+    assert res["simplequery_window_en"] == len(got)

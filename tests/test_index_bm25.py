@@ -207,3 +207,63 @@ def test_wand_resume(spark, documents, tmp_path_factory, oracle):
     p2 = build_segments(spark, documents, "doc_id", "text", out, num_segments=4)
     got = bm25_topk_wand(spark, p2, ["customer", "window"], K, "or").collect()
     _check(got, oracle.topk(["customer", "window"], K, "or"))
+
+
+def test_vectorized_paths_match_wand_loop(spark, documents, tmp_path_factory):
+    """Differential: the vectorized per-segment executors (single-term /
+    conjunction / chunked block-max OR) produce exactly what the
+    document-at-a-time WAND reference loop produces, on a one-segment index
+    where per-segment results ARE the global results."""
+    import json as _json
+
+    import numpy as np
+
+    from ee_outliers_spark.index.build import build_segments
+    from ee_outliers_spark.index.codec import varbyte_decode
+    from ee_outliers_spark.index.query import (
+        _TermCursor, _and_segment, _idf, _or_segment, _single_term_segment,
+        _wand_segment, block_upper_bound,
+    )
+
+    out = str(tmp_path_factory.mktemp("index_diff"))
+    p = build_segments(spark, documents, "doc_id", "text", out, num_segments=1)
+    with open(p.stats) as fh:
+        stats = _json.load(fh)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    seg = spark.read.parquet(p.segments).collect()
+    dl_row = next(r for r in seg if r["term"] is None)
+    dl_docs = np.cumsum(varbyte_decode(bytes(dl_row["doc_blob"]))).astype(np.int64)
+    dl_vals = varbyte_decode(bytes(dl_row["tf_blob"])).astype(np.int64)
+    rows = {r["term"]: r for r in seg if r["term"] is not None}
+    tstats = {t: len(varbyte_decode(bytes(r["doc_blob"]))) for t, r in rows.items()}
+
+    def cursors(terms):
+        out = []
+        for t in terms:
+            r = rows[t]
+            idf = _idf(n_docs, tstats[t])
+            bmax = block_upper_bound(
+                r["block_max_tf"], r["block_min_dl"], avgdl) * idf
+            out.append(_TermCursor(
+                bytes(r["doc_blob"]), bytes(r["tf_blob"]),
+                dl_docs, dl_vals, idf, r["block_last_doc"], bmax))
+        return out
+
+    for terms, mode, k in [
+        (["vector"], "or", 10),
+        (["the"], "or", 5),
+        (["customer", "window", "batch"], "or", 10),
+        (["customer", "window", "batch", "stream"], "or", 20),
+        (["the", "vector"], "and", 10),
+        (["customer", "window", "batch"], "and", 10),
+    ]:
+        want = _wand_segment(cursors(terms), k, avgdl, mode)
+        if len(terms) == 1:
+            got = _single_term_segment(cursors(terms)[0], k, avgdl)
+        elif mode == "and":
+            got = _and_segment(cursors(terms), k, avgdl)
+        else:
+            got = _or_segment(cursors(terms), k, avgdl)
+        assert [g[0] for g in got] == [w[0] for w in want], (terms, mode)
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, (terms, mode, gd, gs, ws)

@@ -169,9 +169,14 @@ def test_lsh_ann_indexed_on_sf_data(spark, emb, tmp_path):
     approx = [r["vec_id"] for r in
               lsh_topk_indexed(spark, emb, "vec_id", "embedding", idx_dir,
                                q, 3).collect()]
-    # the query vector itself must always be rank 1 in both; top-3 exact
+    # the query vector itself must always be rank 1 in both; on NEAR-RANDOM
+    # data a sublinear index is not guaranteed the full exact top-3 (the
+    # 0.3-cosine "neighbors" are noise — see the gate's data-honesty note),
+    # so assert head identity + majority overlap; exact pipeline parity is
+    # gated against the DuckDB LSH twin (ann_lsh_topk), and ≥0.9 recall is
+    # pinned on the clustered corpus below.
     assert brute[0] == rows[0]["vec_id"] == approx[0]
-    assert brute == approx
+    assert len(set(brute) & set(approx)) >= 2
     # the index must PRUNE: candidates well under the full corpus
     n_cand = lsh_candidates(spark, idx_dir, q).count()
     assert n_cand * 2 <= len(rows), (n_cand, len(rows))
@@ -208,3 +213,59 @@ def test_lsh_ann_recall_on_clustered_corpus(spark, tmp_path):
     assert recall >= 0.9, (brute, approx)
     n_cand = lsh_candidates(spark, idx_dir, q, **args).count()
     assert n_cand * 4 <= len(rows), (n_cand, len(rows))
+
+
+def test_embedding_neardup_blocked_join_not_degenerate(spark):
+    """Exact within-bucket near-dup with ONE dominant bucket: results equal
+    the naive formulation, and the self-join input is spread over block-pair
+    keys — no single join key carries the whole m² (the round-2 'weak at
+    100× for skewed labels' item)."""
+    from ee_outliers_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(200):
+        v = rng.standard_normal(16)
+        rows.append((i, "dominant", [float(x) for x in v]))
+        if i < 10:  # a couple of true near-dups
+            rows.append((1000 + i, "dominant",
+                         [float(x) for x in v + rng.standard_normal(16) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, label string, "
+                                     "embedding array<double>")
+    out = embedding_neardup_pairs(df, "vec_id", "embedding", "label",
+                                  threshold=0.95, n_blocks=8)
+    got = {(r["id1"], r["id2"]) for r in out.collect()}
+    assert got == {(i, 1000 + i) for i in range(10)}
+    # the physical plan's join keys include the block-pair columns, so the
+    # dominant bucket's pairs are spread over n_blocks*(n_blocks+1)/2 keys
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_i" in plan and "_j" in plan
+
+
+def test_embedding_neardup_lsh_matches_exact_on_clusters(spark):
+    """The bucket-free LSH near-dup path: on clustered data at a high
+    threshold it finds exactly the exact-join pairs, with hash-bounded
+    buckets (no label column needed at all)."""
+    from ee_outliers_spark.operators.dedup import (
+        embedding_neardup_lsh, embedding_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    for c in range(30):
+        center = rng.standard_normal(32)
+        center /= np.linalg.norm(center)
+        for _ in range(4):
+            v = center + rng.standard_normal(32) * 0.02
+            rows.append((vid, "x", [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, label string, "
+                                     "embedding array<double>")
+    exact = {(r["id1"], r["id2"]) for r in embedding_neardup_pairs(
+        df, "vec_id", "embedding", "label", threshold=0.95).collect()}
+    approx = {(r["id1"], r["id2"]) for r in embedding_neardup_lsh(
+        df, "vec_id", "embedding", threshold=0.95,
+        n_bits=12, n_tables=8).collect()}
+    assert exact  # sanity: clusters produce pairs
+    assert approx == exact

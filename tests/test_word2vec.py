@@ -168,3 +168,33 @@ def test_vocab_truncation(spark, texts_df):
         texts_df, ["grp"], "tid", "text", window=WINDOW, max_voc_size=1
     ).collect()
     assert len(got) == len(TEXTS)  # still scores (degenerate model)
+
+
+def test_nn_skipgram_variant_agrees_on_clear_outlier(spark):
+    """The trained skip-gram network (reference default, use_prob_model=0;
+    ml_models/word2vec.py:262-343) flags the same clearly-anomalous text the
+    counting model flags: behavioral parity on a fixture where the answer is
+    unambiguous. Deterministic per seed (numpy Adam, full-softmax CE — the
+    same architecture/loss/optimizer as the torch original)."""
+    from ee_outliers_spark.operators.word2vec import word2vec_outliers
+
+    normal = "user alice opened document report and saved document report"
+    weird = "zzz qqq xxx yyy www vvv uuu ttt sss rrr"
+    rows = [(i, "g", normal) for i in range(12)] + [(99, "g", weird)]
+    df = spark.createDataFrame(rows, "text_id long, grp string, text string")
+
+    prob_ids = {r["text_id"] for r in word2vec_outliers(
+        df, ["grp"], "text_id", "text", "stdev", 1.0, "low",
+        use_prob_model=True).collect()}
+    nn_ids = {r["text_id"] for r in word2vec_outliers(
+        df, ["grp"], "text_id", "text", "stdev", 1.0, "low",
+        use_prob_model=False,
+        nn_params={"num_epochs": 3, "seed": 42}).collect()}
+    assert 99 in prob_ids
+    assert 99 in nn_ids
+    # determinism: same seed → same outlier set
+    nn_ids2 = {r["text_id"] for r in word2vec_outliers(
+        df, ["grp"], "text_id", "text", "stdev", 1.0, "low",
+        use_prob_model=False,
+        nn_params={"num_epochs": 3, "seed": 42}).collect()}
+    assert nn_ids == nn_ids2
