@@ -221,6 +221,79 @@ def bm25_phrase(spark, sf_dir):
     )
 
 
+# --- mixed query_string scoring: terms + quoted phrase in ONE ranked query ---
+
+_MIXED_QS = 'customer window "key order"'
+
+
+def _mixed_qs_sql(k: int) -> str:
+    phrase_toks = tokenize_py("key order")
+    m = len(phrase_toks)
+    conj = " AND ".join(f"t[i+{j}] = '{tok}'" for j, tok in enumerate(phrase_toks))
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toksarr),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, unnest(t) AS term FROM toksarr
+),
+tfc AS (
+  SELECT doc_id, term, count(*) AS tf FROM tf
+  WHERE term IN ('customer', 'window') GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+term_contrib AS (
+  SELECT tfc.doc_id,
+         ln(1 + (stats.n - dft.df + 0.5)/(dft.df + 0.5))
+         * tfc.tf * 2.2 / (tfc.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl))
+           AS contrib
+  FROM tfc JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+ph AS (
+  SELECT doc_id,
+         len(list_filter(generate_series(1, len(t) - {m - 1}), i -> {conj})) AS tf
+  FROM toksarr WHERE len(t) >= {m}
+),
+phm AS (SELECT * FROM ph WHERE tf > 0),
+dfp AS (SELECT count(*) AS df FROM phm),
+phrase_contrib AS (
+  SELECT m.doc_id,
+         ln(1 + (stats.n - dfp.df + 0.5)/(dfp.df + 0.5))
+         * m.tf * 2.2 / (m.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) AS contrib
+  FROM phm m JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN dfp
+),
+scores AS (
+  SELECT doc_id, sum(contrib) AS score FROM (
+    SELECT * FROM term_contrib UNION ALL SELECT * FROM phrase_contrib
+  ) GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+@register("querystring_topk_mixed", _mixed_qs_sql(20))
+def querystring_topk_mixed(spark, sf_dir):
+    """ES's flagship surface: one query_string mixing bare terms and a
+    quoted phrase, ranked by the SUM of BM25 term and phrase contributions
+    (SHOULD semantics) — answered entirely from the positional index; the
+    oracle recomputes from raw text."""
+    from . import ensure_py_files
+    from .index.query import querystring_topk
+
+    ensure_py_files(spark)
+    paths = corpus_index(spark, sf_dir)
+    top = querystring_topk(spark, paths, _MIXED_QS, 20)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 # --------------------------------------------------------------------------
 # query_string boolean filter (ref F1-F7; simplequery scan path §3.2)
 # --------------------------------------------------------------------------
@@ -969,6 +1042,71 @@ def embedding_neardup_q(spark, sf_dir):
 
     out = embedding_neardup_pairs(
         load(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", 0.35
+    )
+    return out.select("id1", "id2").orderBy("id1", "id2")
+
+
+_NDL_ARGS = dict(threshold=0.3, n_bits=12, n_tables=8, seed=42)
+
+_NDL_SQL = f"""
+WITH signs AS (
+  SELECT t.range AS t, b.range AS b, d.range AS d,
+         CASE WHEN strpos('13579bdf',
+                right(md5('{_NDL_ARGS["seed"]}:' || t.range || ':' || b.range
+                          || ':' || d.range), 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM range({_NDL_ARGS["n_tables"]}) t, range({_NDL_ARGS["n_bits"]}) b,
+       range(64) d
+),
+vecflat AS (
+  SELECT vec_id,
+         unnest(range(len(embedding))) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+bits AS (
+  SELECT v.vec_id, s.t, s.b,
+         CASE WHEN sum(s.s * v.x) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM vecflat v JOIN signs s ON v.d = s.d
+  GROUP BY v.vec_id, s.t, s.b
+),
+codes AS (
+  SELECT vec_id, t, CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS code
+  FROM bits GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM codes a JOIN codes b ON a.t = b.t AND a.code = b.code
+  WHERE a.vec_id < b.vec_id
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, vd, sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm
+  FROM v
+)
+SELECT c.id1, c.id2
+FROM cand c JOIN n a ON a.vec_id = c.id1 JOIN n b ON b.vec_id = c.id2
+WHERE a.nrm > 0 AND b.nrm > 0
+  AND list_sum(list_zip(a.vd, b.vd).apply(p -> p[1] * p[2]))
+      / (a.nrm * b.nrm) >= {_NDL_ARGS["threshold"]}
+ORDER BY id1, id2
+"""
+
+
+@register("embedding_neardup_lsh", _NDL_SQL)
+def embedding_neardup_lsh_q(spark, sf_dir):
+    """Bucket-free near-dup (the 100-TB path: hash-bounded buckets, no label
+    skew) vs a full DuckDB twin — the oracle recomputes the md5 ±1 planes,
+    codes, bucket-join candidates, and exact-cosine filter from SQL, so a
+    MATCH proves the approximate pipeline end to end, not just the rerank."""
+    from .operators.dedup import embedding_neardup_lsh
+
+    out = embedding_neardup_lsh(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        **{k: v for k, v in _NDL_ARGS.items()},
     )
     return out.select("id1", "id2").orderBy("id1", "id2")
 

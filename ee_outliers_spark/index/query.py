@@ -170,34 +170,24 @@ def phrase_topk_df(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
-def phrase_topk_wand(
-    spark: SparkSession,
-    paths: IndexPaths,
-    phrase: str,
-    k: int,
-) -> DataFrame:
-    """Index-backed phrase top-k: tf = positional phrase frequency computed by
-    intersecting the per-term position lists stored in the segments (Lucene
-    PhraseQuery over .prx), BM25-scored with the phrase's own df/idf.
-
-    This is the scale fix for the one query shape that used to re-tokenize
-    the whole corpus per query (``phrase_topk_df``): the plan here reads ONLY
-    segments.parquet rows for the phrase's distinct terms (term IN (...)
-    pushed to the scan) plus the doclen sidecars — at 10^12 docs a phrase
-    query touches |q| posting lists per segment, never the documents table.
-    Requires an index built with ``positions=True``."""
+def _phrase_hits(spark: SparkSession, paths: IndexPaths,
+                 phrase: str) -> DataFrame | None:
+    """(doc_id, tf, dl) for every doc containing the phrase, off the index.
+    None when the phrase trivially matches nothing (empty after tokenize,
+    or contains a zero-df term). Single-token 'phrases' degrade to a plain
+    posting-list read (no positions needed)."""
     toks = tokenize_py(phrase)
     m = len(toks)
     if m == 0:
-        return spark.createDataFrame([], TOPK_SCHEMA)
-    if m == 1:
-        return bm25_topk_wand(spark, paths, toks, k, "or")
+        return None
     stats = load_stats(paths)
+    if m == 1:
+        return posting_tfs_df(spark, paths, toks).select("doc_id", "tf").join(
+            doclen_df(spark, paths), "doc_id").select("doc_id", "tf", "dl")
     if not stats.get("positions"):
         raise ValueError(
-            "phrase_topk_wand needs a positional index "
+            "phrase queries need a positional index "
             "(build_segments(..., positions=True))")
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     distinct = list(dict.fromkeys(toks))
 
     present = (
@@ -206,7 +196,7 @@ def phrase_topk_wand(
     )
     if present < len(distinct):
         # a phrase containing a zero-df term matches nothing anywhere
-        return spark.createDataFrame([], TOPK_SCHEMA)
+        return None
 
     segs = read_live_segments(spark, paths).where(
         F.col("term").isin(distinct) | F.col("term").isNull()
@@ -263,8 +253,33 @@ def phrase_topk_wand(
             "dl": dl_vals[np.searchsorted(dl_docs, d)],
         })
 
-    hits = segs.groupBy("seg_id").applyInPandas(
-        run, schema="doc_id long, tf long, dl long").cache()
+    return segs.groupBy("seg_id").applyInPandas(
+        run, schema="doc_id long, tf long, dl long")
+
+
+def phrase_topk_wand(
+    spark: SparkSession,
+    paths: IndexPaths,
+    phrase: str,
+    k: int,
+) -> DataFrame:
+    """Index-backed phrase top-k: tf = positional phrase frequency computed by
+    intersecting the per-term position lists stored in the segments (Lucene
+    PhraseQuery over .prx), BM25-scored with the phrase's own df/idf.
+
+    This is the scale fix for the one query shape that used to re-tokenize
+    the whole corpus per query (``phrase_topk_df``): the plan here reads ONLY
+    segments.parquet rows for the phrase's distinct terms (term IN (...)
+    pushed to the scan) plus the doclen sidecars — at 10^12 docs a phrase
+    query touches |q| posting lists per segment, never the documents table.
+    Requires an index built with ``positions=True`` (single-token phrases
+    work on any index)."""
+    hits = _phrase_hits(spark, paths, phrase)
+    if hits is None:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    stats = load_stats(paths)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    hits = hits.cache()
     dfp = hits.count()
     if dfp == 0:
         return spark.createDataFrame([], TOPK_SCHEMA)
@@ -277,6 +292,114 @@ def phrase_topk_wand(
         ).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def posting_tfs_df(spark: SparkSession, paths: IndexPaths,
+                   terms: list[str]) -> DataFrame:
+    """(term, doc_id, tf) decoded from the compressed segments for the
+    requested terms only — the term IN (...) filter reaches the parquet
+    scan, so |q| rows per segment are read regardless of corpus size."""
+    segs = read_live_segments(spark, paths).where(
+        F.col("term").isin(terms)
+    ).select("term", "doc_blob", "tf_blob")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ts, ds, fs = [], [], []
+            for term, dblob, tblob in zip(pdf["term"], pdf["doc_blob"],
+                                          pdf["tf_blob"]):
+                docs = np.cumsum(varbyte_decode(bytes(dblob))).astype(np.int64)
+                ts.append(np.full(len(docs), term, dtype=object))
+                ds.append(docs)
+                fs.append(varbyte_decode(bytes(tblob)).astype(np.int64))
+            if ts:
+                yield pd.DataFrame({
+                    "term": np.concatenate(ts),
+                    "doc_id": np.concatenate(ds),
+                    "tf": np.concatenate(fs),
+                })
+
+    return segs.mapInPandas(decode, schema="term string, doc_id long, tf long")
+
+
+def phrase_matches_df(spark: SparkSession, paths: IndexPaths,
+                      phrase: str) -> DataFrame:
+    """(doc_id, tf, dl) for EVERY doc containing the phrase (positional
+    intersection per segment — the unbounded-k inner kernel of
+    ``phrase_topk_wand``), for callers that need full match sets rather
+    than a top-k (e.g. mixed query_string scoring)."""
+    hits = _phrase_hits(spark, paths, phrase)
+    return (spark.createDataFrame([], "doc_id long, tf long, dl long")
+            if hits is None else hits)
+
+
+def querystring_topk(
+    spark: SparkSession,
+    paths: IndexPaths,
+    query_string: str,
+    k: int,
+) -> DataFrame:
+    """Top-k BM25 over a full ES query_string with MIXED positive clauses —
+    bare terms AND quoted phrases scored together (ES's flagship surface,
+    ref F2 /root/reference/app/helpers/es.py:238-250; quoted phrases
+    throughout documentation/CONFIG_OUTLIERS.md examples), entirely off the
+    index: term contributions from the posting lists, phrase contributions
+    from the positional blobs, summed per doc (SHOULD semantics — a doc
+    matching any positive clause scores), global top-k via TakeOrdered.
+    Negated/field clauses are filter-only in ES scoring and are not part of
+    this scorer — compose with ``indexed_filter`` for those."""
+    from ..queryparser import collect_text_terms, parse_query_string
+
+    node = parse_query_string(query_string)
+    terms, phrases = collect_text_terms(node)
+    terms = list(dict.fromkeys(terms))
+    stats = load_stats(paths)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    contribs: list[DataFrame] = []
+    if terms:
+        tstats = {
+            r["term"]: int(r["df"])
+            for r in spark.read.parquet(paths.termstats)
+            .where(F.col("term").isin(terms)).collect()
+        }
+        present = [t for t in terms if t in tstats]
+        if present:
+            post = posting_tfs_df(spark, paths, present)
+            dl = doclen_df(spark, paths)
+            idf_map = F.create_map(
+                *[F.lit(x) for t in present
+                  for x in (t, _idf(n_docs, tstats[t]))])
+            scored = post.join(dl, "doc_id").select(
+                "doc_id",
+                (
+                    idf_map[F.col("term")]
+                    * (F.col("tf") * (K1 + 1.0))
+                    / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl")
+                                           / F.lit(float(avgdl))))
+                ).alias("contrib"),
+            )
+            contribs.append(scored)
+    for p in dict.fromkeys(phrases):
+        hits = phrase_matches_df(spark, paths, p).cache()
+        dfp = hits.count()
+        if dfp == 0:
+            continue
+        idf = _idf(n_docs, int(dfp))
+        contribs.append(hits.select(
+            "doc_id",
+            (
+                F.lit(idf) * (F.col("tf") * (K1 + 1.0))
+                / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl")
+                                       / F.lit(float(avgdl))))
+            ).alias("contrib"),
+        ))
+    if not contribs:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    agg = allc.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 # --------------------------------------------------------------------------

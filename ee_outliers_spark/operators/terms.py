@@ -231,6 +231,7 @@ def terms_outliers(
         return res.where("is_outlier")
 
     wl = None
+    prev_cached = None
     for _ in range(max_fixpoint_iters):
         res = one_pass(work).cache()
         if wl is None:
@@ -239,8 +240,14 @@ def terms_outliers(
             )
         retract = res.where(F.col("is_outlier") & wl)
         n_retract = retract.count()
+        if prev_cached is not None:
+            # the new iteration is materialized past its parent now — the
+            # parent's cache is dead weight (bounded either way, but no
+            # reason to hold max_fixpoint_iters copies of the window)
+            prev_cached.unpersist()
         if n_retract == 0:
             return res.where("is_outlier")
         # drop whitelisted flagged docs from the window and recompute
         work = res.where(~(F.col("is_outlier") & wl)).select(*df.columns)
+        prev_cached = res
     return one_pass(work).where("is_outlier")

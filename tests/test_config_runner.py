@@ -274,3 +274,39 @@ def test_ini_runner_uses_index(spark, documents, tmp_path):
     res = run_all(documents, [sq], key_col="doc_id", text_col="text",
                   index=idx)
     assert res["simplequery_window_en"] == len(got)
+
+
+def test_cli_main_interactive(spark, sf_dir, tmp_path):
+    """The `python -m ee_outliers_spark interactive` surface (reference run
+    modes, app/helpers/settings.py:10-49): INI use cases + parquet corpus +
+    index + MERGE sink, end to end, returning the run summary."""
+    import textwrap as _tw
+
+    from ee_outliers_spark.__main__ import main
+
+    cases = tmp_path / "cases.conf"
+    cases.write_text(_tw.dedent("""
+        [simplequery_windowed]
+        es_query_filter=window AND customer
+        outlier_type=test
+        outlier_summary=doc {doc_id}
+        run_model=1
+    """))
+    summary = main([
+        "interactive",
+        "--use-cases", str(cases),
+        "--data", sf_dir,
+        "--index", str(tmp_path / "idx"),
+        "--results", str(tmp_path / "store"),
+    ], spark=spark)
+    assert summary["total_use_cases_processed"] == 1
+    assert summary["total_outliers_detected"] > 0
+    # the MERGE sink got the rows; a second run inserts zero (idempotent)
+    summary2 = main([
+        "interactive",
+        "--use-cases", str(cases),
+        "--data", sf_dir,
+        "--index", str(tmp_path / "idx"),
+        "--results", str(tmp_path / "store"),
+    ], spark=spark)
+    assert summary2["total_outliers_detected"] == 0
