@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queryparser import And, Not, Or, Term, to_spark_predicate
+from ..queryparser import And, Not, Or, Phrase, Term, to_spark_predicate
 from ..tokenizer import tokenize_py
 from .build import IndexPaths, read_live_segments
 from .codec import varbyte_decode
@@ -39,10 +39,31 @@ def single_token_terms(node) -> list[str]:
     out: list[str] = []
 
     def walk(n):
-        if isinstance(n, Term):
+        if isinstance(n, (Term, Phrase)):
             toks = tokenize_py(n.text)
             if len(toks) == 1:
                 out.append(toks[0])
+        elif isinstance(n, (And, Or)):
+            for p in n.parts:
+                walk(p)
+        elif isinstance(n, Not):
+            walk(n.part)
+
+    walk(node)
+    return list(dict.fromkeys(out))
+
+
+def multi_token_phrases(node) -> list[str]:
+    """Distinct normalized (space-joined tokens) multi-token text atoms —
+    quoted Phrases and multi-token bare Terms compile to the same phrase
+    match, so both resolve via the positional index."""
+    out: list[str] = []
+
+    def walk(n):
+        if isinstance(n, (Term, Phrase)):
+            toks = tokenize_py(n.text)
+            if len(toks) > 1:
+                out.append(" ".join(toks))
         elif isinstance(n, (And, Or)):
             for p in n.parts:
                 walk(p)
@@ -104,14 +125,100 @@ def attach_matched_terms(
     )
 
 
-def indexed_predicate(node, text_col: str, columns: list[str]) -> Column:
-    """Same boolean as ``to_spark_predicate`` but single-token Term atoms
-    test membership in MATCH_COL instead of regex-scanning the text."""
+PHRASE_COL = "_matched_phrases"
+
+
+def attach_matched_phrases(
+    spark: SparkSession,
+    paths: IndexPaths,
+    docs: DataFrame,
+    doc_col: str,
+    phrases: list[str],
+) -> DataFrame:
+    """docs + an array column of which phrases each doc contains, resolved
+    by position-list intersection in the positional index (never a regex
+    over the text column). Phrases with a zero-df token simply never appear
+    in the array (match nothing)."""
+    from .query import _phrase_hits
+
+    if not phrases:
+        return docs.withColumn(PHRASE_COL, F.array().cast("array<string>"))
+    parts = []
+    for p in phrases:
+        hits = _phrase_hits(spark, paths, p)
+        if hits is not None:
+            parts.append(hits.select(
+                "doc_id", F.lit(p).alias("__phrase")))
+    if not parts:
+        return docs.withColumn(PHRASE_COL, F.array().cast("array<string>"))
+    allhits = parts[0]
+    for x in parts[1:]:
+        allhits = allhits.unionByName(x)
+    matched = (
+        allhits.groupBy("doc_id")
+        .agg(F.collect_set("__phrase").alias(PHRASE_COL))
+        .withColumnRenamed("doc_id", "__ph_doc_id")
+    )
+    joined = docs.join(
+        matched, docs[doc_col] == F.col("__ph_doc_id"), "left"
+    ).drop("__ph_doc_id")
+    return joined.withColumn(
+        PHRASE_COL,
+        F.coalesce(F.col(PHRASE_COL), F.array().cast("array<string>")),
+    )
+
+
+def indexed_predicate(node, text_col: str, columns: list[str],
+                      with_phrases: bool = False) -> Column:
+    """Same boolean as ``to_spark_predicate`` but single-token text atoms
+    test membership in MATCH_COL — and, when the index is positional,
+    multi-token phrases test membership in PHRASE_COL — instead of
+    regex-scanning the text."""
     markers = {
         t: F.array_contains(F.col(MATCH_COL), t)
         for t in single_token_terms(node)
     }
-    return to_spark_predicate(node, text_col, columns, term_markers=markers)
+    ph_markers = None
+    if with_phrases:
+        ph_markers = {
+            p: F.array_contains(F.col(PHRASE_COL), p)
+            for p in multi_token_phrases(node)
+        }
+    return to_spark_predicate(node, text_col, columns, term_markers=markers,
+                              phrase_markers=ph_markers)
+
+
+def required_terms_union(node) -> list[str] | None:
+    """A set of single-token terms such that EVERY matching doc must contain
+    at least one of them — or None when no such guarantee exists (pure
+    negations, field-only predicates, phrases). Used to pre-prune the docs
+    table with a posting semi-join before the marker join: at corpus scale
+    this turns 'shuffle the whole docs table to evaluate a filter' into
+    'touch only docs in the candidate posting lists', the way ES drives
+    filter context off the inverted index rather than a table scan."""
+    if isinstance(node, (Term, Phrase)):
+        # a doc matching a phrase necessarily contains each of its tokens —
+        # any one of them is a valid pruning guarantee (pick the first)
+        toks = tokenize_py(node.text)
+        return [toks[0]] if toks else None
+    if isinstance(node, And):
+        # any single conjunct's guarantee covers the conjunction; prefer the
+        # smallest guarantee set (most selective pre-filter)
+        best = None
+        for p in node.parts:
+            u = required_terms_union(p)
+            if u is not None and (best is None or len(u) < len(best)):
+                best = u
+        return best
+    if isinstance(node, Or):
+        out: list[str] = []
+        for p in node.parts:
+            u = required_terms_union(p)
+            if u is None:
+                return None  # one alternative matches without any term
+            out.extend(u)
+        return list(dict.fromkeys(out))
+    return None
 
 
 def indexed_filter(
@@ -124,9 +231,27 @@ def indexed_filter(
     columns: list[str],
 ) -> DataFrame:
     """Filter docs by a parsed query AST with index-backed term atoms;
-    returns the original docs columns."""
+    returns the original docs columns. When the boolean guarantees a
+    positive indexed term (see ``required_terms_union``), the docs table is
+    first pruned to the union of those posting lists (left-semi join), so
+    the marker join runs over candidates, never the whole corpus. On a
+    positional index, multi-token phrases resolve via position-list
+    intersection too — the compiled plan contains NO regex at all."""
+    from .build import load_stats
+
     terms = single_token_terms(node)
+    req = required_terms_union(node)
+    if req:
+        cand = posting_docs(spark, paths, req).select(
+            F.col("doc_id").alias("__req_doc_id")).distinct()
+        docs = docs.join(
+            cand, docs[doc_col] == F.col("__req_doc_id"), "left_semi")
     marked = attach_matched_terms(spark, paths, docs, doc_col, terms)
-    return marked.where(
-        indexed_predicate(node, text_col, columns)
+    with_phrases = bool(load_stats(paths).get("positions"))
+    if with_phrases:
+        marked = attach_matched_phrases(
+            spark, paths, marked, doc_col, multi_token_phrases(node))
+    out = marked.where(
+        indexed_predicate(node, text_col, columns, with_phrases=with_phrases)
     ).drop(MATCH_COL)
+    return out.drop(PHRASE_COL) if with_phrases else out

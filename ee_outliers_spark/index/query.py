@@ -26,7 +26,6 @@ the final top-k is a tree reduction (orderBy+limit ⇒ TakeOrdered).
 from __future__ import annotations
 
 import heapq
-import json
 import math
 from collections.abc import Iterator
 
@@ -182,8 +181,7 @@ def _phrase_hits(spark: SparkSession, paths: IndexPaths,
         return None
     stats = load_stats(paths)
     if m == 1:
-        return posting_tfs_df(spark, paths, toks).select("doc_id", "tf").join(
-            doclen_df(spark, paths), "doc_id").select("doc_id", "tf", "dl")
+        return posting_tfs_df(spark, paths, toks).select("doc_id", "tf", "dl")
     if not stats.get("positions"):
         raise ValueError(
             "phrase queries need a positional index "
@@ -296,30 +294,47 @@ def phrase_topk_wand(
 
 def posting_tfs_df(spark: SparkSession, paths: IndexPaths,
                    terms: list[str]) -> DataFrame:
-    """(term, doc_id, tf) decoded from the compressed segments for the
+    """(term, doc_id, tf, dl) decoded from the compressed segments for the
     requested terms only — the term IN (...) filter reaches the parquet
-    scan, so |q| rows per segment are read regardless of corpus size."""
+    scan, so |q| rows per segment are read regardless of corpus size. The
+    doc length rides along from the segment's co-located sidecar row
+    (searchsorted gather inside the same task), so scoring needs NO shuffle
+    join against a corpus-wide doclen table."""
     segs = read_live_segments(spark, paths).where(
-        F.col("term").isin(terms)
-    ).select("term", "doc_blob", "tf_blob")
+        F.col("term").isin(terms) | F.col("term").isNull()
+    ).select("seg_id", "term", "doc_blob", "tf_blob")
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ts, ds, fs = [], [], []
-            for term, dblob, tblob in zip(pdf["term"], pdf["doc_blob"],
-                                          pdf["tf_blob"]):
-                docs = np.cumsum(varbyte_decode(bytes(dblob))).astype(np.int64)
-                ts.append(np.full(len(docs), term, dtype=object))
-                ds.append(docs)
-                fs.append(varbyte_decode(bytes(tblob)).astype(np.int64))
-            if ts:
-                yield pd.DataFrame({
-                    "term": np.concatenate(ts),
-                    "doc_id": np.concatenate(ds),
-                    "tf": np.concatenate(fs),
-                })
+    def decode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "term": pd.Series(dtype="object"),
+            "doc_id": pd.Series(dtype="int64"),
+            "tf": pd.Series(dtype="int64"),
+            "dl": pd.Series(dtype="int64"),
+        })
+        dl_rows = pdf[pdf["term"].isna()]
+        term_rows = pdf[pdf["term"].notna()]
+        if dl_rows.empty or term_rows.empty:
+            return empty
+        dl_docs = np.cumsum(
+            varbyte_decode(bytes(dl_rows["doc_blob"].iloc[0]))).astype(np.int64)
+        dl_vals = varbyte_decode(bytes(dl_rows["tf_blob"].iloc[0])).astype(np.int64)
+        ts, ds, fs = [], [], []
+        for term, dblob, tblob in zip(term_rows["term"], term_rows["doc_blob"],
+                                      term_rows["tf_blob"]):
+            docs = np.cumsum(varbyte_decode(bytes(dblob))).astype(np.int64)
+            ts.append(np.full(len(docs), term, dtype=object))
+            ds.append(docs)
+            fs.append(varbyte_decode(bytes(tblob)).astype(np.int64))
+        d = np.concatenate(ds)
+        return pd.DataFrame({
+            "term": np.concatenate(ts),
+            "doc_id": d,
+            "tf": np.concatenate(fs),
+            "dl": dl_vals[np.searchsorted(dl_docs, d)],
+        })
 
-    return segs.mapInPandas(decode, schema="term string, doc_id long, tf long")
+    return segs.groupBy("seg_id").applyInPandas(
+        decode, schema="term string, doc_id long, tf long, dl long")
 
 
 def phrase_matches_df(spark: SparkSession, paths: IndexPaths,
@@ -365,11 +380,10 @@ def querystring_topk(
         present = [t for t in terms if t in tstats]
         if present:
             post = posting_tfs_df(spark, paths, present)
-            dl = doclen_df(spark, paths)
             idf_map = F.create_map(
                 *[F.lit(x) for t in present
                   for x in (t, _idf(n_docs, tstats[t]))])
-            scored = post.join(dl, "doc_id").select(
+            scored = post.select(
                 "doc_id",
                 (
                     idf_map[F.col("term")]

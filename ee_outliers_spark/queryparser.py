@@ -348,25 +348,37 @@ def _term_regex(term: str) -> str:
 def to_spark_predicate(
     node, text_col: str, columns: list[str],
     term_markers: dict | None = None,
+    phrase_markers: dict | None = None,
 ) -> Column:
     """Boolean filter-context compilation (no scoring).
 
     ``term_markers`` (optional) maps a single TOKEN to a precomputed boolean
-    Column meaning "document contains token" — supplied by the index-backed
-    filter path (index/filter.py) so Term atoms become posting-list lookups
-    instead of regex scans. Falls back to rlike when absent."""
+    Column meaning "document contains token"; ``phrase_markers`` maps a
+    normalized phrase (space-joined tokens) to "document contains phrase" —
+    both supplied by the index-backed filter path (index/filter.py) so text
+    atoms become posting-list / position-list lookups instead of regex
+    scans. Falls back to rlike when absent."""
     if isinstance(node, MatchAll):
         return F.lit(True)
     if isinstance(node, Term):
-        if term_markers is not None:
-            toks = tokenize_py(node.text)
-            if len(toks) == 1 and toks[0] in term_markers:
-                return term_markers[toks[0]]
+        toks = tokenize_py(node.text)
+        if term_markers is not None and len(toks) == 1 and toks[0] in term_markers:
+            return term_markers[toks[0]]
+        if phrase_markers is not None and len(toks) > 1:
+            key = " ".join(toks)
+            if key in phrase_markers:
+                return phrase_markers[key]
         return F.lower(F.col(text_col)).rlike(_term_regex(node.text))
     if isinstance(node, Phrase):
         toks = tokenize_py(node.text)
         if not toks:  # empty phrase "" matches nothing
             return F.lit(False)
+        if term_markers is not None and len(toks) == 1 and toks[0] in term_markers:
+            return term_markers[toks[0]]
+        if phrase_markers is not None and len(toks) > 1:
+            key = " ".join(toks)
+            if key in phrase_markers:
+                return phrase_markers[key]
         return F.lower(F.col(text_col)).rlike(phrase_regex(toks))
     if isinstance(node, FieldEq):
         c = F.col(_resolve_field(node.field, columns))
@@ -386,17 +398,22 @@ def to_spark_predicate(
             cond = cond & ((c <= lit) if node.hi_inc else (c < lit))
         return cond
     if isinstance(node, And):
-        out = to_spark_predicate(node.parts[0], text_col, columns, term_markers)
+        out = to_spark_predicate(node.parts[0], text_col, columns,
+                                 term_markers, phrase_markers)
         for p in node.parts[1:]:
-            out = out & to_spark_predicate(p, text_col, columns, term_markers)
+            out = out & to_spark_predicate(p, text_col, columns,
+                                           term_markers, phrase_markers)
         return out
     if isinstance(node, Or):
-        out = to_spark_predicate(node.parts[0], text_col, columns, term_markers)
+        out = to_spark_predicate(node.parts[0], text_col, columns,
+                                 term_markers, phrase_markers)
         for p in node.parts[1:]:
-            out = out | to_spark_predicate(p, text_col, columns, term_markers)
+            out = out | to_spark_predicate(p, text_col, columns,
+                                           term_markers, phrase_markers)
         return out
     if isinstance(node, Not):
-        return ~to_spark_predicate(node.part, text_col, columns, term_markers)
+        return ~to_spark_predicate(node.part, text_col, columns,
+                                   term_markers, phrase_markers)
     raise TypeError(node)
 
 

@@ -267,3 +267,67 @@ def test_vectorized_paths_match_wand_loop(spark, documents, tmp_path_factory):
         assert [g[0] for g in got] == [w[0] for w in want], (terms, mode)
         for (gd, gs), (wd, ws) in zip(got, want):
             assert abs(gs - ws) < 1e-9, (terms, mode, gd, gs, ws)
+
+
+def test_indexed_filter_phrases_off_positional_index(spark, documents, pos_paths):
+    """On a positional index the filter context resolves quoted phrases by
+    position-list intersection: the compiled plan contains NO regex at all
+    (round 2 kept rlike for phrases), and rows equal the regex compilation.
+    The required-term semi-join prunes the docs scan to candidate postings."""
+    from ee_outliers_spark.index.filter import indexed_filter
+    from ee_outliers_spark.queryparser import parse_query_string, to_spark_predicate
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    for qs in ['window AND NOT "batch batch"',
+               '"key order" AND _exists_:lang',
+               'customer "key order"']:
+        node = parse_query_string(qs)
+        want = sorted(r["doc_id"] for r in documents.where(
+            to_spark_predicate(node, "text", cols)).select("doc_id").collect())
+        out = indexed_filter(spark, pos_paths, documents, "doc_id", "text",
+                             node, cols)
+        got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+        assert got == want, qs
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "rlike" not in plan.lower(), qs
+
+
+def test_querystring_topk_mixed_matches_manual_sum(spark, documents, pos_paths):
+    """Mixed term+phrase scoring = sum of the term-path and phrase-path
+    contributions, rank checked against a direct per-doc computation."""
+    import math
+
+    from ee_outliers_spark.index.query import querystring_topk
+    from ee_outliers_spark.tokenizer import tokenize_py
+
+    got = [(int(r["doc_id"]), float(r["score"])) for r in
+           querystring_topk(spark, pos_paths, 'customer "key order"', 15)
+           .collect()]
+    # manual oracle
+    docs = {int(r["doc_id"]): tokenize_py(r["text"])
+            for r in documents.select("doc_id", "text").collect()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    def idf(df_): return math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+    def part(tf, dl, i):
+        return i * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    term_df = sum(1 for t in docs.values() if "customer" in t)
+    ph = ["key", "order"]
+    def phrase_tf(toks):
+        return sum(1 for i in range(len(toks) - 1) if toks[i:i+2] == ph)
+    ph_df = sum(1 for t in docs.values() if phrase_tf(t) > 0)
+    scores = {}
+    for d, toks in docs.items():
+        s = 0.0
+        tf = toks.count("customer")
+        if tf:
+            s += part(tf, len(toks), idf(term_df))
+        ptf = phrase_tf(toks)
+        if ptf:
+            s += part(ptf, len(toks), idf(ph_df))
+        if s:
+            scores[d] = s
+    want = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:15]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9), (gd, gs, ws)
