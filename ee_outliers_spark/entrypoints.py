@@ -335,6 +335,93 @@ def count_matches(spark, sf_dir):
     ).agg(F.count("*").cast("long").alias("n_matches"))
 
 
+# --- wildcard / fuzzy / sloppy-phrase query_string forms ---------------------
+# The reference ships es_query_filter strings to ES verbatim
+# (app/helpers/es.py:238-250), so every Lucene query_string form a user can
+# type is part of its accepted surface: `cust*` (wildcard over analyzed
+# tokens), `field:val*` (keyword wildcard), `term~1` (fuzzy), `"a b"~2`
+# (sloppy phrase). All resolve index-backed: wildcards/fuzzies by a
+# dictionary-predicate scan of the segments (Lucene MultiTermQuery rewrite),
+# sloppy phrases by position-window intersection. The oracle compiles the
+# same AST through to_duckdb_sql (regex / levenshtein over raw text).
+
+_WILD_QS = "cust* AND NOT lang:de AND source:src1?"
+_FUZZ_QS = "custoner~1 AND lang:e?"
+_SLOP_QS = '"order key"~2 AND NOT source:src7'
+
+
+def _filter_gate(qs: str):
+    def run(spark, sf_dir):
+        docs = load(spark, sf_dir, "documents")
+        paths = corpus_index(spark, sf_dir)
+        node = parse_query_string(qs)
+        return (
+            indexed_filter(spark, paths, docs, "doc_id", "text", node,
+                           DOC_COLS)
+            .select("doc_id")
+            .orderBy("doc_id")
+        )
+    return run
+
+
+Q["wildcard_filter"] = _filter_gate(_WILD_QS)
+O["wildcard_filter"] = _qs_sql(_WILD_QS)
+Q["fuzzy_filter"] = _filter_gate(_FUZZ_QS)
+O["fuzzy_filter"] = _qs_sql(_FUZZ_QS)
+Q["slop_phrase_filter"] = _filter_gate(_SLOP_QS)
+O["slop_phrase_filter"] = _qs_sql(_SLOP_QS)
+
+
+def _wildcard_topk_sql(pattern_body: str, term: str, k: int) -> str:
+    """Scored wildcard oracle: expand the pattern against the corpus's own
+    distinct-token dictionary in SQL (scoring_boolean rewrite — every
+    expanded term is an independent BM25 clause), union the literal term."""
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toksarr),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+toks AS (SELECT doc_id, unnest(t) AS term FROM toksarr),
+matched AS (
+  SELECT DISTINCT term FROM toks WHERE regexp_matches(term, '^({pattern_body})$')
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM matched) OR term = '{term}'
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id, sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+         * tf.tf * 2.2 / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+@register("wildcard_topk", _wildcard_topk_sql("cust[a-z0-9]*", "window", 20))
+def wildcard_topk(spark, sf_dir):
+    """`cust* window` ranked: the wildcard expands against the index's term
+    dictionary (distributed segment scan, never a driver-side list), each
+    expanded term scores as its own BM25 clause (Lucene scoring_boolean)."""
+    from . import ensure_py_files
+    from .index.query import querystring_topk
+
+    ensure_py_files(spark)
+    paths = corpus_index(spark, sf_dir)
+    top = querystring_topk(spark, paths, "cust* window", 20)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 # --- range queries (ref F3: Lucene [a TO b] + ES range DSL, es.py:252-270) ---
 
 EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]

@@ -24,7 +24,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queryparser import And, Not, Or, Phrase, Term, to_spark_predicate
+from ..queryparser import (
+    And, Fuzzy, Not, Or, Phrase, Term, Wildcard, fuzzy_key, phrase_key,
+    to_spark_predicate, wildcard_key,
+)
 from ..tokenizer import tokenize_py
 from .build import IndexPaths, read_live_segments
 from .codec import varbyte_decode
@@ -53,17 +56,20 @@ def single_token_terms(node) -> list[str]:
     return list(dict.fromkeys(out))
 
 
-def multi_token_phrases(node) -> list[str]:
-    """Distinct normalized (space-joined tokens) multi-token text atoms —
-    quoted Phrases and multi-token bare Terms compile to the same phrase
-    match, so both resolve via the positional index."""
-    out: list[str] = []
+def multi_token_phrases(node) -> list[tuple[str, str, int]]:
+    """Distinct (phrase_key, text, slop) multi-token text atoms — quoted
+    Phrases (incl. sloppy `"a b"~2`) and multi-token bare Terms compile to
+    the same positional phrase match, so both resolve via the positional
+    index."""
+    out: dict[str, tuple[str, str, int]] = {}
 
     def walk(n):
         if isinstance(n, (Term, Phrase)):
             toks = tokenize_py(n.text)
+            slop = n.slop if isinstance(n, Phrase) else 0
             if len(toks) > 1:
-                out.append(" ".join(toks))
+                k = phrase_key(toks, slop)
+                out.setdefault(k, (k, n.text, slop))
         elif isinstance(n, (And, Or)):
             for p in n.parts:
                 walk(p)
@@ -71,16 +77,50 @@ def multi_token_phrases(node) -> list[str]:
             walk(n.part)
 
     walk(node)
-    return list(dict.fromkeys(out))
+    return list(out.values())
+
+
+def pattern_atoms(node) -> list[tuple[str, Column | None]]:
+    """Distinct (marker key, dictionary predicate) for Wildcard and Fuzzy
+    atoms. A None predicate means the atom can never match a token (its
+    marker stays empty → False)."""
+    from .query import fuzzy_term_pred, wildcard_term_pred
+
+    out: dict[str, Column | None] = {}
+
+    def walk(n):
+        if isinstance(n, Wildcard):
+            out.setdefault(wildcard_key(n.text), wildcard_term_pred(n.text))
+        elif isinstance(n, Fuzzy):
+            toks = tokenize_py(n.text)
+            k = fuzzy_key(n.text, n.max_edits)
+            out.setdefault(
+                k,
+                fuzzy_term_pred(toks[0], n.max_edits)
+                if len(toks) == 1 else None)
+        elif isinstance(n, (And, Or)):
+            for p in n.parts:
+                walk(p)
+        elif isinstance(n, Not):
+            walk(n.part)
+
+    walk(node)
+    return list(out.items())
 
 
 def posting_docs(spark: SparkSession, paths: IndexPaths,
-                 terms: list[str]) -> DataFrame:
+                 terms: list[str] | None = None,
+                 term_pred: Column | None = None) -> DataFrame:
     """(term, doc_id) for the requested terms, decoded from the compressed
-    segments. The ``term IN (...)`` filter reaches the parquet scan, so only
-    |q| rows per segment are read regardless of corpus size."""
+    segments. The ``term IN (...)`` filter — or an arbitrary ``term_pred``
+    over the dictionary's term strings (wildcard rlike / levenshtein bound:
+    Lucene MultiTermQuery expansion as a distributed dictionary scan) —
+    reaches the parquet scan, so only matching rows per segment are read
+    regardless of corpus size."""
+    if term_pred is None:
+        term_pred = F.col("term").isin(terms or [])
     segs = read_live_segments(spark, paths).where(
-        F.col("term").isin(terms)
+        term_pred & F.col("term").isNotNull()
     ).select("term", "doc_blob")
 
     def decode(batches):
@@ -126,6 +166,7 @@ def attach_matched_terms(
 
 
 PHRASE_COL = "_matched_phrases"
+PATTERN_COL = "_matched_patterns"
 
 
 def attach_matched_phrases(
@@ -133,22 +174,23 @@ def attach_matched_phrases(
     paths: IndexPaths,
     docs: DataFrame,
     doc_col: str,
-    phrases: list[str],
+    phrases: list[tuple[str, str, int]],
 ) -> DataFrame:
-    """docs + an array column of which phrases each doc contains, resolved
-    by position-list intersection in the positional index (never a regex
-    over the text column). Phrases with a zero-df token simply never appear
-    in the array (match nothing)."""
+    """docs + an array column of which phrase keys each doc contains,
+    resolved by position-list intersection in the positional index (never a
+    regex over the text column); sloppy phrases (`"a b"~2`) intersect under
+    the slop window. Phrases with a zero-df token simply never appear in
+    the array (match nothing)."""
     from .query import _phrase_hits
 
     if not phrases:
         return docs.withColumn(PHRASE_COL, F.array().cast("array<string>"))
     parts = []
-    for p in phrases:
-        hits = _phrase_hits(spark, paths, p)
+    for key, text, slop in phrases:
+        hits = _phrase_hits(spark, paths, text, slop)
         if hits is not None:
             parts.append(hits.select(
-                "doc_id", F.lit(p).alias("__phrase")))
+                "doc_id", F.lit(key).alias("__phrase")))
     if not parts:
         return docs.withColumn(PHRASE_COL, F.array().cast("array<string>"))
     allhits = parts[0]
@@ -168,52 +210,100 @@ def attach_matched_phrases(
     )
 
 
+def attach_matched_patterns(
+    spark: SparkSession,
+    paths: IndexPaths,
+    docs: DataFrame,
+    doc_col: str,
+    patterns: list[tuple[str, Column | None]],
+) -> DataFrame:
+    """docs + an array column of which wildcard/fuzzy atom keys each doc
+    matches: each atom's dictionary predicate drives a distributed term scan
+    over the segments (the expansion never materializes on the driver), the
+    matched posting lists union into (doc_id, key) pairs."""
+    if not any(pred is not None for _, pred in patterns):
+        return docs.withColumn(PATTERN_COL, F.array().cast("array<string>"))
+    parts = []
+    for key, pred in patterns:
+        if pred is None:
+            continue
+        parts.append(
+            posting_docs(spark, paths, term_pred=pred)
+            .select("doc_id").distinct()
+            .select("doc_id", F.lit(key).alias("__pat")))
+    allhits = parts[0]
+    for x in parts[1:]:
+        allhits = allhits.unionByName(x)
+    matched = (
+        allhits.groupBy("doc_id")
+        .agg(F.collect_set("__pat").alias(PATTERN_COL))
+        .withColumnRenamed("doc_id", "__pt_doc_id")
+    )
+    joined = docs.join(
+        matched, docs[doc_col] == F.col("__pt_doc_id"), "left"
+    ).drop("__pt_doc_id")
+    return joined.withColumn(
+        PATTERN_COL,
+        F.coalesce(F.col(PATTERN_COL), F.array().cast("array<string>")),
+    )
+
+
 def indexed_predicate(node, text_col: str, columns: list[str],
                       with_phrases: bool = False) -> Column:
     """Same boolean as ``to_spark_predicate`` but single-token text atoms
-    test membership in MATCH_COL — and, when the index is positional,
-    multi-token phrases test membership in PHRASE_COL — instead of
-    regex-scanning the text."""
+    test membership in MATCH_COL, wildcard/fuzzy atoms in PATTERN_COL —
+    and, when the index is positional, multi-token (incl. sloppy) phrases
+    in PHRASE_COL — instead of regex-scanning the text."""
     markers = {
         t: F.array_contains(F.col(MATCH_COL), t)
         for t in single_token_terms(node)
     }
+    pat_markers = {
+        key: F.array_contains(F.col(PATTERN_COL), key)
+        for key, _ in pattern_atoms(node)
+    } or None
     ph_markers = None
     if with_phrases:
         ph_markers = {
-            p: F.array_contains(F.col(PHRASE_COL), p)
-            for p in multi_token_phrases(node)
+            key: F.array_contains(F.col(PHRASE_COL), key)
+            for key, _, _ in multi_token_phrases(node)
         }
     return to_spark_predicate(node, text_col, columns, term_markers=markers,
-                              phrase_markers=ph_markers)
+                              phrase_markers=ph_markers,
+                              pattern_markers=pat_markers)
 
 
-def required_terms_union(node) -> list[str] | None:
-    """A set of single-token terms such that EVERY matching doc must contain
-    at least one of them — or None when no such guarantee exists (pure
-    negations, field-only predicates, phrases). Used to pre-prune the docs
-    table with a posting semi-join before the marker join: at corpus scale
-    this turns 'shuffle the whole docs table to evaluate a filter' into
-    'touch only docs in the candidate posting lists', the way ES drives
-    filter context off the inverted index rather than a table scan."""
+def required_atoms_union(node) -> list[tuple[str, str]] | None:
+    """A set of positive text atoms — ("term", token) or ("pat", marker
+    key) — such that EVERY matching doc must match at least one of them, or
+    None when no such guarantee exists (pure negations, field-only
+    predicates). Used to pre-prune the docs table with a posting semi-join
+    before the marker join: at corpus scale this turns 'shuffle the whole
+    docs table to evaluate a filter' into 'touch only docs in the candidate
+    posting lists', the way ES drives filter context off the inverted index
+    rather than a table scan."""
     if isinstance(node, (Term, Phrase)):
         # a doc matching a phrase necessarily contains each of its tokens —
         # any one of them is a valid pruning guarantee (pick the first)
         toks = tokenize_py(node.text)
-        return [toks[0]] if toks else None
+        return [("term", toks[0])] if toks else None
+    if isinstance(node, Wildcard):
+        return [("pat", wildcard_key(node.text))]
+    if isinstance(node, Fuzzy):
+        return [("pat", fuzzy_key(node.text, node.max_edits))]
     if isinstance(node, And):
         # any single conjunct's guarantee covers the conjunction; prefer the
         # smallest guarantee set (most selective pre-filter)
         best = None
         for p in node.parts:
-            u = required_terms_union(p)
+            u = required_atoms_union(p)
             if u is not None and (best is None or len(u) < len(best)):
                 best = u
         return best
     if isinstance(node, Or):
-        out: list[str] = []
+        out: list[tuple[str, str]] = []
         for p in node.parts:
-            u = required_terms_union(p)
+            u = required_atoms_union(p)
             if u is None:
                 return None  # one alternative matches without any term
             out.extend(u)
@@ -232,26 +322,48 @@ def indexed_filter(
 ) -> DataFrame:
     """Filter docs by a parsed query AST with index-backed term atoms;
     returns the original docs columns. When the boolean guarantees a
-    positive indexed term (see ``required_terms_union``), the docs table is
+    positive indexed atom (see ``required_atoms_union``), the docs table is
     first pruned to the union of those posting lists (left-semi join), so
     the marker join runs over candidates, never the whole corpus. On a
-    positional index, multi-token phrases resolve via position-list
-    intersection too — the compiled plan contains NO regex at all."""
+    positional index, multi-token phrases (incl. sloppy `"a b"~2`) resolve
+    via position-list intersection, and wildcard/fuzzy atoms via a
+    dictionary-predicate segment scan — the compiled plan contains NO regex
+    over the corpus text at all."""
     from .build import load_stats
 
     terms = single_token_terms(node)
-    req = required_terms_union(node)
+    patterns = pattern_atoms(node)
+    pat_preds = dict(patterns)
+    req = required_atoms_union(node)
     if req:
-        cand = posting_docs(spark, paths, req).select(
-            F.col("doc_id").alias("__req_doc_id")).distinct()
-        docs = docs.join(
-            cand, docs[doc_col] == F.col("__req_doc_id"), "left_semi")
+        req_terms = [v for kind, v in req if kind == "term"]
+        parts = []
+        if req_terms:
+            parts.append(posting_docs(spark, paths, req_terms)
+                         .select("doc_id"))
+        for kind, v in req:
+            if kind == "pat" and pat_preds.get(v) is not None:
+                parts.append(
+                    posting_docs(spark, paths, term_pred=pat_preds[v])
+                    .select("doc_id"))
+        if parts:
+            cand = parts[0]
+            for x in parts[1:]:
+                cand = cand.unionByName(x)
+            cand = cand.select(
+                F.col("doc_id").alias("__req_doc_id")).distinct()
+            docs = docs.join(
+                cand, docs[doc_col] == F.col("__req_doc_id"), "left_semi")
+        else:
+            # every guaranteed atom matches nothing → no doc can match
+            docs = docs.where(F.lit(False))
     marked = attach_matched_terms(spark, paths, docs, doc_col, terms)
+    marked = attach_matched_patterns(spark, paths, marked, doc_col, patterns)
     with_phrases = bool(load_stats(paths).get("positions"))
     if with_phrases:
         marked = attach_matched_phrases(
             spark, paths, marked, doc_col, multi_token_phrases(node))
     out = marked.where(
         indexed_predicate(node, text_col, columns, with_phrases=with_phrases)
-    ).drop(MATCH_COL)
+    ).drop(MATCH_COL, PATTERN_COL)
     return out.drop(PHRASE_COL) if with_phrases else out

@@ -31,7 +31,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tokenizer import tokenize_py, tokens_col
@@ -169,12 +169,73 @@ def phrase_topk_df(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def _sloppy_tf(plists: dict, phrase_terms: list[str], doc: int,
+               slop: int) -> int:
+    """Sloppy-phrase frequency for one doc: the number of window starts v
+    (v ∈ adjusted positions, adjusted = position - phrase offset) such that
+    every phrase offset can claim a DISTINCT doc position within
+    [v, v+slop]. At slop=0 this is exactly the exact-phrase tf. Matches the
+    range formulation compiled by the regex backends (queryparser
+    slop_regex), extended to any phrase length."""
+    adj: list[np.ndarray] = []
+    for j, t in enumerate(phrase_terms):
+        docs, flat, bounds = plists[t]
+        i = int(np.searchsorted(docs, doc))
+        lo = int(bounds[i - 1]) if i > 0 else 0
+        p = flat[lo:int(bounds[i])] - j
+        if p.size == 0:
+            return 0
+        adj.append(p)
+    cand = np.unique(np.concatenate(adj))
+    ok = np.ones(cand.size, dtype=bool)
+    for a in adj:
+        # label j covers v iff some element of a lies in [v, v+slop]
+        idx = np.searchsorted(a, cand, side="left")
+        has = idx < a.size
+        has[has] &= a[idx[has]] <= cand[has] + slop
+        ok &= has
+    cand = cand[ok]
+    # repeated phrase terms: the same doc position must not serve two
+    # offsets — greedy interval assignment per term (sorted offsets take
+    # the smallest unused position in their window)
+    from collections import Counter
+    counts = Counter(phrase_terms)
+    if all(c == 1 for c in counts.values()):
+        return int(cand.size)
+    offsets: dict[str, list[int]] = {}
+    for j, t in enumerate(phrase_terms):
+        offsets.setdefault(t, []).append(j)
+    tf = 0
+    for v in cand.tolist():
+        good = True
+        for t, offs in offsets.items():
+            if len(offs) == 1:
+                continue
+            docs, flat, bounds = plists[t]
+            i = int(np.searchsorted(docs, doc))
+            lo = int(bounds[i - 1]) if i > 0 else 0
+            pos = flat[lo:int(bounds[i])]
+            used = -1
+            for o in offs:  # offsets ascending; windows shift right with o
+                w = pos[(pos >= max(v + o, used + 1)) & (pos <= v + slop + o)]
+                if w.size == 0:
+                    good = False
+                    break
+                used = int(w[0])
+            if not good:
+                break
+        if good:
+            tf += 1
+    return tf
+
+
 def _phrase_hits(spark: SparkSession, paths: IndexPaths,
-                 phrase: str) -> DataFrame | None:
-    """(doc_id, tf, dl) for every doc containing the phrase, off the index.
-    None when the phrase trivially matches nothing (empty after tokenize,
-    or contains a zero-df term). Single-token 'phrases' degrade to a plain
-    posting-list read (no positions needed)."""
+                 phrase: str, slop: int = 0) -> DataFrame | None:
+    """(doc_id, tf, dl) for every doc containing the phrase (optionally with
+    ``slop``, Lucene sloppy-phrase semantics — see ``_sloppy_tf``), off the
+    index. None when the phrase trivially matches nothing (empty after
+    tokenize, or contains a zero-df term). Single-token 'phrases' degrade to
+    a plain posting-list read (no positions needed)."""
     toks = tokenize_py(phrase)
     m = len(toks)
     if m == 0:
@@ -229,6 +290,12 @@ def _phrase_hits(spark: SparkSession, paths: IndexPaths,
             return empty
         out_docs, out_tfs = [], []
         for doc in inter:
+            if slop > 0:
+                tf = _sloppy_tf(plists, phrase_terms, int(doc), slop)
+                if tf:
+                    out_docs.append(int(doc))
+                    out_tfs.append(tf)
+                continue
             cand = None
             for j, t in enumerate(phrase_terms):
                 docs, flat, bounds = plists[t]
@@ -293,15 +360,21 @@ def phrase_topk_wand(
 
 
 def posting_tfs_df(spark: SparkSession, paths: IndexPaths,
-                   terms: list[str]) -> DataFrame:
+                   terms: list[str] | None = None,
+                   term_pred: Column | None = None) -> DataFrame:
     """(term, doc_id, tf, dl) decoded from the compressed segments for the
-    requested terms only — the term IN (...) filter reaches the parquet
-    scan, so |q| rows per segment are read regardless of corpus size. The
-    doc length rides along from the segment's co-located sidecar row
-    (searchsorted gather inside the same task), so scoring needs NO shuffle
-    join against a corpus-wide doclen table."""
+    requested terms only — the term IN (...) filter (or an arbitrary
+    ``term_pred`` Column over the dictionary's term strings, e.g. a wildcard
+    rlike or a levenshtein bound — Lucene MultiTermQuery expansion as a
+    distributed dictionary scan, never a driver-side term list) reaches the
+    parquet scan, so only matching dictionary rows per segment are read
+    regardless of corpus size. The doc length rides along from the segment's
+    co-located sidecar row (searchsorted gather inside the same task), so
+    scoring needs NO shuffle join against a corpus-wide doclen table."""
+    if term_pred is None:
+        term_pred = F.col("term").isin(terms or [])
     segs = read_live_segments(spark, paths).where(
-        F.col("term").isin(terms) | F.col("term").isNull()
+        term_pred | F.col("term").isNull()
     ).select("seg_id", "term", "doc_blob", "tf_blob")
 
     def decode(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -338,14 +411,44 @@ def posting_tfs_df(spark: SparkSession, paths: IndexPaths,
 
 
 def phrase_matches_df(spark: SparkSession, paths: IndexPaths,
-                      phrase: str) -> DataFrame:
+                      phrase: str, slop: int = 0) -> DataFrame:
     """(doc_id, tf, dl) for EVERY doc containing the phrase (positional
     intersection per segment — the unbounded-k inner kernel of
-    ``phrase_topk_wand``), for callers that need full match sets rather
-    than a top-k (e.g. mixed query_string scoring)."""
-    hits = _phrase_hits(spark, paths, phrase)
+    ``phrase_topk_wand``; ``slop`` > 0 = Lucene sloppy phrase), for callers
+    that need full match sets rather than a top-k (e.g. mixed query_string
+    scoring)."""
+    hits = _phrase_hits(spark, paths, phrase, slop)
     return (spark.createDataFrame([], "doc_id long, tf long, dl long")
             if hits is None else hits)
+
+
+def wildcard_term_pred(pattern: str) -> Column | None:
+    """Dictionary predicate for a wildcard atom (term matches pattern), or
+    None when the pattern can never match a token. Pure-prefix patterns
+    (`foo*`) compile to startsWith so the parquet dictionary scan gets a
+    StringStartsWith pushdown; general patterns anchor-match via rlike."""
+    import re as _re
+
+    from ..queryparser import wildcard_token_body
+
+    body = wildcard_token_body(pattern)
+    if body is None:
+        return None
+    p = pattern.lower()
+    if _re.fullmatch(r"[a-z0-9]+\*", p):
+        return F.col("term").startswith(p[:-1])
+    return F.col("term").rlike(f"^({body})$")
+
+
+def fuzzy_term_pred(token: str, max_edits: int) -> Column:
+    """Dictionary predicate for a fuzzy atom: classic Levenshtein bound,
+    with a cheap length-band prefilter so the JVM edit-distance only runs
+    on plausible dictionary rows."""
+    t = token.lower()
+    return (
+        F.length("term").between(len(t) - max_edits, len(t) + max_edits)
+        & (F.levenshtein(F.col("term"), F.lit(t)) <= max_edits)
+    )
 
 
 def querystring_topk(
@@ -362,14 +465,28 @@ def querystring_topk(
     from the positional blobs, summed per doc (SHOULD semantics — a doc
     matching any positive clause scores), global top-k via TakeOrdered.
     Negated/field clauses are filter-only in ES scoring and are not part of
-    this scorer — compose with ``indexed_filter`` for those."""
-    from ..queryparser import collect_text_terms, parse_query_string
+    this scorer — compose with ``indexed_filter`` for those.
+
+    Wildcard (`fo?bar*`) and fuzzy (`term~1`) atoms use Lucene's
+    scoring_boolean rewrite: the atom expands against the term dictionary
+    (a distributed termstats/segments scan with the pattern predicate — no
+    driver-side term list) and every expanded term contributes its own
+    BM25 clause. Sloppy phrases (`"a b"~2`) score with the sloppy tf."""
+    from ..queryparser import collect_query_atoms, parse_query_string
 
     node = parse_query_string(query_string)
-    terms, phrases = collect_text_terms(node)
-    terms = list(dict.fromkeys(terms))
+    atoms = collect_query_atoms(node)
+    terms = list(dict.fromkeys(atoms["terms"]))
     stats = load_stats(paths)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+
+    def bm25(tf_col, idf_col):
+        return (
+            idf_col * (tf_col * (K1 + 1.0))
+            / (tf_col + K1 * (1.0 - B + B * F.col("dl")
+                              / F.lit(float(avgdl))))
+        )
+
     contribs: list[DataFrame] = []
     if terms:
         tstats = {
@@ -383,29 +500,34 @@ def querystring_topk(
             idf_map = F.create_map(
                 *[F.lit(x) for t in present
                   for x in (t, _idf(n_docs, tstats[t]))])
-            scored = post.select(
+            contribs.append(post.select(
                 "doc_id",
-                (
-                    idf_map[F.col("term")]
-                    * (F.col("tf") * (K1 + 1.0))
-                    / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl")
-                                           / F.lit(float(avgdl))))
-                ).alias("contrib"),
-            )
-            contribs.append(scored)
-    for p in dict.fromkeys(phrases):
-        hits = phrase_matches_df(spark, paths, p).cache()
+                bm25(F.col("tf"), idf_map[F.col("term")]).alias("contrib"),
+            ))
+    preds = [wildcard_term_pred(w) for w in dict.fromkeys(atoms["wildcards"])]
+    preds += [fuzzy_term_pred(t, n)
+              for t, n in dict.fromkeys(atoms["fuzzies"])]
+    for pred in preds:
+        if pred is None:
+            continue
+        exp_stats = spark.read.parquet(paths.termstats).where(pred).select(
+            "term", F.col("df").cast("double").alias("__df"))
+        post = posting_tfs_df(spark, paths, term_pred=pred)
+        idf_col = F.log(
+            1.0 + (F.lit(float(n_docs)) - F.col("__df") + 0.5)
+            / (F.col("__df") + 0.5))
+        contribs.append(
+            post.join(F.broadcast(exp_stats), "term").select(
+                "doc_id", bm25(F.col("tf"), idf_col).alias("contrib")))
+    for p, slop in dict.fromkeys(atoms["phrases"]):
+        hits = phrase_matches_df(spark, paths, p, slop).cache()
         dfp = hits.count()
         if dfp == 0:
             continue
         idf = _idf(n_docs, int(dfp))
         contribs.append(hits.select(
             "doc_id",
-            (
-                F.lit(idf) * (F.col("tf") * (K1 + 1.0))
-                / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl")
-                                       / F.lit(float(avgdl))))
-            ).alias("contrib"),
+            bm25(F.col("tf"), F.lit(idf)).alias("contrib"),
         ))
     if not contribs:
         return spark.createDataFrame([], TOPK_SCHEMA)

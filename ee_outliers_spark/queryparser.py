@@ -36,7 +36,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .tokenizer import phrase_regex, tokenize_py
+from .tokenizer import phrase_regex, tokenize_py, tokens_col, tokens_sql
 
 
 # --- AST ----------------------------------------------------------------------
@@ -48,7 +48,43 @@ class Term:
 
 @dataclass
 class Phrase:
+    """Quoted phrase; ``slop`` > 0 is Lucene's sloppy phrase (`"a b"~2`):
+    the phrase matches when positions p_i can be chosen for each phrase
+    offset o_i with max(p_i - o_i) - min(p_i - o_i) <= slop (the standard
+    non-repeating-terms formulation of Lucene's SloppyPhraseScorer edit
+    budget — reversed adjacent terms cost 2, one in-order gap costs 1)."""
     text: str
+    slop: int = 0
+
+
+@dataclass
+class Wildcard:
+    """Single-token wildcard over the analyzed text (`fo?bar*`): matches a
+    doc containing any token matching the pattern (`*` = any run, `?` = one
+    char). The reference ships query_strings verbatim to ES
+    (app/helpers/es.py:238-250), so Lucene wildcard terms are part of its
+    accepted surface. Index-backed execution expands the pattern against
+    the term dictionary (Lucene MultiTermQuery rewrite)."""
+    text: str
+
+
+@dataclass
+class Fuzzy:
+    """`term~n` — matches a doc containing a token within Levenshtein
+    distance ``max_edits`` of the term (classic Levenshtein in all three
+    backends; transpositions cost 2, unlike ES's default
+    fuzzy_transpositions — documented divergence, kept for backend
+    identity). Bare `~` = 2, Lucene's default."""
+    text: str
+    max_edits: int = 2
+
+
+@dataclass
+class FieldWildcard:
+    """`field:val*` — wildcard on a keyword field value (whole-value
+    pattern match, `.keyword` semantics like FieldEq)."""
+    field: str
+    pattern: str
 
 
 @dataclass
@@ -106,14 +142,15 @@ _TOKEN_SPEC = re.compile(
         (?P<cmp>>=|<=|>|<) |
         (?P<quoted>"(?P<qbody>[^"]*)") |
         (?P<neg>-) |
-        (?P<word>[^\s()\[\]{}"<>:]+) |
+        (?P<fuzz>~(?P<fuzznum>\d+)?) |
+        (?P<word>[^\s()\[\]{}"<>:~]+) |
         (?P<colon>:)
     )""",
     re.VERBOSE,
 )
 
 _LEX_KINDS = ("lparen", "rparen", "lbrack", "rbrack", "lbrace", "rbrace",
-              "cmp", "neg", "word", "colon")
+              "cmp", "neg", "fuzz", "word", "colon")
 
 
 def _lex(s: str) -> list[tuple[str, str]]:
@@ -217,6 +254,12 @@ class _Parser:
                 raise ValueError("unbalanced parentheses")
             return node
         if kind == "quoted":
+            nk, nv = self.peek()
+            if nk == "fuzz":
+                self.take()
+                # `"a b"~n` — phrase slop (bare `~` after a phrase = 0,
+                # matching ES's phrase_slop default)
+                return Phrase(val, slop=int(nv[1:]) if len(nv) > 1 else 0)
             return Phrase(val)
         if kind == "word":
             nk, _ = self.peek()
@@ -241,6 +284,8 @@ class _Parser:
                 if vk == "word":
                     if val == "_exists_":
                         return Exists(vv)
+                    if "*" in vv or "?" in vv:
+                        return FieldWildcard(val, vv)
                     return FieldEq(val, vv)
                 if vk == "neg":
                     # negative numeric value: glue '-' to the next word
@@ -253,6 +298,14 @@ class _Parser:
                 # bare boolean operator with no operand (ES rejects these);
                 # a FIELD named and/or/not is fine — that path has a colon
                 raise ValueError(f"operator {val} used without operands")
+            if nk == "fuzz":
+                _, fv = self.take()
+                # Lucene `term~` defaults to 2 edits; ES caps fuzziness at 2
+                return Fuzzy(val, min(int(fv[1:]) if len(fv) > 1 else 2, 2))
+            if val == "*":
+                return MatchAll()  # bare `*` = match_all (ES query_string)
+            if "*" in val or "?" in val:
+                return Wildcard(val)
             return Term(val)
         raise ValueError(f"unexpected token {kind}:{val}")
 
@@ -345,19 +398,105 @@ def _term_regex(term: str) -> str:
     return phrase_regex(toks)
 
 
+_WILD_OK = re.compile(r"^[a-z0-9*?]+$")
+
+
+def wildcard_token_body(pattern: str) -> str | None:
+    """Regex body matching a single TOKEN against the wildcard pattern
+    (anchor/boundary-free). Tokens are runs of [a-z0-9], so a pattern with
+    any other literal char can never match a token — None (match nothing).
+    Same regex runs in Java, RE2 and Python ``re``."""
+    p = pattern.lower()
+    if not _WILD_OK.match(p):
+        return None
+    return "".join(
+        "[a-z0-9]*" if ch == "*" else "[a-z0-9]" if ch == "?" else ch
+        for ch in p
+    )
+
+
+def _wildcard_regex(pattern: str) -> str:
+    """Boundary-wrapped text regex: doc contains a token matching pattern."""
+    body = wildcard_token_body(pattern)
+    if body is None:
+        return "$^"
+    return f"(^|[^a-z0-9])({body})($|[^a-z0-9])"
+
+
+def slop_regex(toks: list[str], slop: int) -> str:
+    """Text regex for a TWO-term sloppy phrase. Under the (position-offset)
+    range formulation: an in-order match with g gap tokens costs g; a
+    reversed match with g gap tokens costs g+2. Regex backends only support
+    m<=2 (the positional index path handles any m); callers raise above."""
+    t1, t2 = (re.escape(t) for t in toks)
+    gap = "(?:[^a-z0-9]+[a-z0-9]+)"
+    alts = [f"{t1}{gap}{{0,{slop}}}[^a-z0-9]+{t2}"]
+    if slop >= 2:
+        alts.append(f"{t2}{gap}{{0,{slop - 2}}}[^a-z0-9]+{t1}")
+    body = "|".join(alts)
+    return f"(^|[^a-z0-9])({body})($|[^a-z0-9])"
+
+
+def _phrase_text_regex(node: "Phrase") -> str:
+    """Regex for a Phrase node incl. slop (regex backends, m<=2 for slop)."""
+    toks = tokenize_py(node.text)
+    if not toks:
+        return "$^"
+    if node.slop <= 0 or len(toks) == 1:
+        return phrase_regex(toks)
+    if len(toks) > 2:
+        raise ValueError(
+            "sloppy phrases with >2 terms need the positional-index path "
+            "(indexed_filter / phrase hits); regex backends support m<=2")
+    return slop_regex(toks, node.slop)
+
+
+def levenshtein_py(a: str, b: str) -> int:
+    """Classic Levenshtein (matches DuckDB's levenshtein() and Spark's
+    F.levenshtein — no transposition credit), for the Python oracle."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+# Marker-dict keys shared with index/filter.py (the index-backed filter
+# precomputes one boolean column per distinct text atom).
+def phrase_key(toks: list[str], slop: int = 0) -> str:
+    return " ".join(toks) + (f"~{slop}" if slop else "")
+
+
+def wildcard_key(pattern: str) -> str:
+    return "w:" + pattern.lower()
+
+
+def fuzzy_key(text: str, max_edits: int) -> str:
+    return f"f{max_edits}:{text.lower()}"
+
+
 def to_spark_predicate(
     node, text_col: str, columns: list[str],
     term_markers: dict | None = None,
     phrase_markers: dict | None = None,
+    pattern_markers: dict | None = None,
 ) -> Column:
     """Boolean filter-context compilation (no scoring).
 
     ``term_markers`` (optional) maps a single TOKEN to a precomputed boolean
     Column meaning "document contains token"; ``phrase_markers`` maps a
-    normalized phrase (space-joined tokens) to "document contains phrase" —
-    both supplied by the index-backed filter path (index/filter.py) so text
-    atoms become posting-list / position-list lookups instead of regex
-    scans. Falls back to rlike when absent."""
+    ``phrase_key`` (space-joined tokens + optional ~slop) to "document
+    contains phrase"; ``pattern_markers`` maps a ``wildcard_key`` /
+    ``fuzzy_key`` to "document contains a matching token" — all supplied by
+    the index-backed filter path (index/filter.py) so text atoms become
+    posting-list / position-list / term-dictionary lookups instead of regex
+    scans. Falls back to rlike (or a tokens+levenshtein HOF for Fuzzy) when
+    absent."""
     if isinstance(node, MatchAll):
         return F.lit(True)
     if isinstance(node, Term):
@@ -365,7 +504,7 @@ def to_spark_predicate(
         if term_markers is not None and len(toks) == 1 and toks[0] in term_markers:
             return term_markers[toks[0]]
         if phrase_markers is not None and len(toks) > 1:
-            key = " ".join(toks)
+            key = phrase_key(toks)
             if key in phrase_markers:
                 return phrase_markers[key]
         return F.lower(F.col(text_col)).rlike(_term_regex(node.text))
@@ -376,10 +515,37 @@ def to_spark_predicate(
         if term_markers is not None and len(toks) == 1 and toks[0] in term_markers:
             return term_markers[toks[0]]
         if phrase_markers is not None and len(toks) > 1:
-            key = " ".join(toks)
+            key = phrase_key(toks, node.slop)
             if key in phrase_markers:
                 return phrase_markers[key]
-        return F.lower(F.col(text_col)).rlike(phrase_regex(toks))
+        return F.lower(F.col(text_col)).rlike(_phrase_text_regex(node))
+    if isinstance(node, Wildcard):
+        if pattern_markers is not None:
+            key = wildcard_key(node.text)
+            if key in pattern_markers:
+                return pattern_markers[key]
+        return F.lower(F.col(text_col)).rlike(_wildcard_regex(node.text))
+    if isinstance(node, Fuzzy):
+        if pattern_markers is not None:
+            key = fuzzy_key(node.text, node.max_edits)
+            if key in pattern_markers:
+                return pattern_markers[key]
+        toks = tokenize_py(node.text)
+        if len(toks) != 1:
+            return F.lit(False)
+        # fallback: JVM-side HOF over the token array (no Python UDF); the
+        # index-backed path replaces this with a term-dictionary expansion
+        return F.exists(
+            tokens_col(F.col(text_col)),
+            lambda t: F.levenshtein(t, F.lit(toks[0])) <= node.max_edits,
+        )
+    if isinstance(node, FieldWildcard):
+        c = F.col(_resolve_field(node.field, columns))
+        rx = "^" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+            for ch in node.pattern
+        ) + "$"
+        return c.cast("string").rlike(rx)
     if isinstance(node, FieldEq):
         c = F.col(_resolve_field(node.field, columns))
         if _NUM_RE.match(node.value):
@@ -399,21 +565,24 @@ def to_spark_predicate(
         return cond
     if isinstance(node, And):
         out = to_spark_predicate(node.parts[0], text_col, columns,
-                                 term_markers, phrase_markers)
+                                 term_markers, phrase_markers, pattern_markers)
         for p in node.parts[1:]:
             out = out & to_spark_predicate(p, text_col, columns,
-                                           term_markers, phrase_markers)
+                                           term_markers, phrase_markers,
+                                           pattern_markers)
         return out
     if isinstance(node, Or):
         out = to_spark_predicate(node.parts[0], text_col, columns,
-                                 term_markers, phrase_markers)
+                                 term_markers, phrase_markers, pattern_markers)
         for p in node.parts[1:]:
             out = out | to_spark_predicate(p, text_col, columns,
-                                           term_markers, phrase_markers)
+                                           term_markers, phrase_markers,
+                                           pattern_markers)
         return out
     if isinstance(node, Not):
         return ~to_spark_predicate(node.part, text_col, columns,
-                                   term_markers, phrase_markers)
+                                   term_markers, phrase_markers,
+                                   pattern_markers)
     raise TypeError(node)
 
 
@@ -427,8 +596,25 @@ def to_duckdb_sql(node, text_col: str, columns: list[str]) -> str:
         toks = tokenize_py(node.text)
         if not toks:
             return "FALSE"
-        rx = phrase_regex(toks)
+        rx = _phrase_text_regex(node)
         return f"regexp_matches(lower({text_col}), '{rx}')"
+    if isinstance(node, Wildcard):
+        rx = _wildcard_regex(node.text)
+        return f"regexp_matches(lower({text_col}), '{rx}')"
+    if isinstance(node, Fuzzy):
+        toks = tokenize_py(node.text)
+        if len(toks) != 1:
+            return "FALSE"
+        t = toks[0].replace("'", "''")
+        return (f"len(list_filter({tokens_sql(text_col)}, "
+                f"t -> levenshtein(t, '{t}') <= {node.max_edits})) > 0")
+    if isinstance(node, FieldWildcard):
+        rx = "^" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+            for ch in node.pattern
+        ) + "$"
+        c = _resolve_field(node.field, columns)
+        return f"regexp_matches(CAST({c} AS VARCHAR), '{rx}')"
     if isinstance(node, FieldEq):
         c = _resolve_field(node.field, columns)
         if _NUM_RE.match(node.value):
@@ -467,10 +653,32 @@ def to_python_predicate(node, text_col: str, columns: list[str]):
         toks = tokenize_py(node.text)
         if not toks:
             return lambda row: False
-        rx = re.compile(phrase_regex(toks))
+        rx = re.compile(_phrase_text_regex(node))
         return lambda row: row.get(text_col) is not None and bool(
             rx.search(str(row[text_col]).lower())
         )
+    if isinstance(node, Wildcard):
+        rx = re.compile(_wildcard_regex(node.text))
+        return lambda row: row.get(text_col) is not None and bool(
+            rx.search(str(row[text_col]).lower())
+        )
+    if isinstance(node, Fuzzy):
+        toks = tokenize_py(node.text)
+        if len(toks) != 1:
+            return lambda row: False
+        t, n = toks[0], node.max_edits
+        return lambda row: any(
+            abs(len(tok) - len(t)) <= n and levenshtein_py(tok, t) <= n
+            for tok in tokenize_py(row.get(text_col))
+        )
+    if isinstance(node, FieldWildcard):
+        c = _resolve_field(node.field, columns)
+        rx = re.compile("^" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+            for ch in node.pattern
+        ) + "$")
+        return lambda row: _rowget(row, c) is not None and bool(
+            rx.match(str(_rowget(row, c))))
     if isinstance(node, FieldEq):
         c = _resolve_field(node.field, columns)
         if _NUM_RE.match(node.value):
@@ -603,3 +811,38 @@ def collect_text_terms(node) -> tuple[list[str], list[str]]:
 
     walk(node, False)
     return terms, phrases
+
+
+def collect_query_atoms(node) -> dict:
+    """All positive scored text atoms for the index-backed query_string
+    scorer: {'terms': [token], 'phrases': [(text, slop)],
+    'wildcards': [pattern], 'fuzzies': [(token, max_edits)]}. Negated and
+    field clauses are filter-only (ES scoring semantics)."""
+    out = {"terms": [], "phrases": [], "wildcards": [], "fuzzies": []}
+
+    def walk(n, neg: bool):
+        if neg:
+            if isinstance(n, Not):
+                walk(n.part, False)
+            elif isinstance(n, (And, Or)):
+                for p in n.parts:
+                    walk(p, True)
+            return
+        if isinstance(n, Term):
+            out["terms"].extend(tokenize_py(n.text))
+        elif isinstance(n, Phrase):
+            out["phrases"].append((n.text, n.slop))
+        elif isinstance(n, Wildcard):
+            out["wildcards"].append(n.text)
+        elif isinstance(n, Fuzzy):
+            toks = tokenize_py(n.text)
+            if len(toks) == 1:
+                out["fuzzies"].append((toks[0], n.max_edits))
+        elif isinstance(n, (And, Or)):
+            for p in n.parts:
+                walk(p, neg)
+        elif isinstance(n, Not):
+            walk(n.part, not neg)
+
+    walk(node, False)
+    return out

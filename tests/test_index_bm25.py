@@ -269,6 +269,63 @@ def test_vectorized_paths_match_wand_loop(spark, documents, tmp_path_factory):
             assert abs(gs - ws) < 1e-9, (terms, mode, gd, gs, ws)
 
 
+def test_indexed_filter_multiterm_atoms(spark, documents, pos_paths):
+    """Wildcard / fuzzy / sloppy-phrase atoms resolve index-backed (term
+    dictionary scan + position windows) and agree with the regex/HOF
+    compilation of the same AST over raw text."""
+    from ee_outliers_spark.index.filter import indexed_filter
+    from ee_outliers_spark.queryparser import (
+        parse_query_string, to_spark_predicate,
+    )
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    for qs in ["cust*", "wind?w OR batch", "custoner~1 AND lang:en",
+               '"order key"~2', 'cust* AND "key order"~1',
+               "zzzq* OR customer", "qqqzzz*",
+               'fast~1 AND source:src1*']:
+        node = parse_query_string(qs)
+        want = sorted(r["doc_id"] for r in documents.where(
+            to_spark_predicate(node, "text", cols)).select("doc_id").collect())
+        out = indexed_filter(spark, pos_paths, documents, "doc_id", "text",
+                             node, cols)
+        got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+        assert got == want, qs
+
+
+def test_sloppy_phrase_three_terms_positional(spark, documents, pos_paths):
+    """m>2 sloppy phrases (beyond the regex backends) match the brute-force
+    range formulation computed in Python over the raw corpus, including a
+    repeated-term phrase where one doc position must not serve two phrase
+    offsets."""
+    import itertools
+
+    from ee_outliers_spark.index.query import phrase_matches_df
+    from ee_outliers_spark.tokenizer import tokenize_py
+
+    def brute(doc_toks, phrase, slop):
+        pos = {t: [i for i, x in enumerate(doc_toks) if x == t]
+               for t in set(phrase)}
+        if any(not pos[t] for t in phrase):
+            return False
+        for combo in itertools.product(*[pos[t] for t in phrase]):
+            if len(set(combo)) < len(combo):
+                continue
+            adj = [p - o for o, p in enumerate(combo)]
+            if max(adj) - min(adj) <= slop:
+                return True
+        return False
+
+    rows = {int(r["doc_id"]): tokenize_py(r["text"])
+            for r in documents.select("doc_id", "text").collect()}
+    for phrase, slop in [("key order update", 3), ("the key order", 2),
+                         ("batch batch stream", 2), ("key the key", 3)]:
+        got = sorted(int(r["doc_id"]) for r in phrase_matches_df(
+            spark, pos_paths, phrase, slop).collect())
+        want = sorted(d for d, toks in rows.items()
+                      if brute(toks, tokenize_py(phrase), slop))
+        assert got == want, (phrase, slop)
+
+
 def test_indexed_filter_phrases_off_positional_index(spark, documents, pos_paths):
     """On a positional index the filter context resolves quoted phrases by
     position-list intersection: the compiled plan contains NO regex at all

@@ -5,12 +5,63 @@ import duckdb
 import pytest
 
 from ee_outliers_spark.queryparser import (
-    And, Exists, FieldEq, FieldRange, MatchAll, Not, Or, Phrase, Term,
-    collect_text_terms, dsl_to_ast, parse_query_string,
-    to_duckdb_sql, to_python_predicate, to_spark_predicate,
+    And, Exists, FieldEq, FieldRange, FieldWildcard, Fuzzy, MatchAll, Not,
+    Or, Phrase, Term, Wildcard, collect_text_terms, dsl_to_ast,
+    parse_query_string, slop_regex, to_duckdb_sql, to_python_predicate,
+    to_spark_predicate,
 )
 
 COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def test_multiterm_shapes():
+    assert parse_query_string("cust*") == Wildcard("cust*")
+    assert parse_query_string("f?o*") == Wildcard("f?o*")
+    assert parse_query_string("name~1") == Fuzzy("name", 1)
+    assert parse_query_string("name~") == Fuzzy("name", 2)  # Lucene default
+    assert parse_query_string("name~9") == Fuzzy("name", 2)  # ES cap
+    assert parse_query_string('"a b"~2') == Phrase("a b", slop=2)
+    assert parse_query_string('"a b"~') == Phrase("a b", slop=0)
+    assert parse_query_string("lang:e?") == FieldWildcard("lang", "e?")
+    assert parse_query_string("source:src1*") == FieldWildcard("source", "src1*")
+    assert parse_query_string("*") == MatchAll()
+    # `*` as a range bound stays an open bound, not a wildcard
+    assert parse_query_string("n_chars:[* TO 5]") == FieldRange(
+        "n_chars", None, "5", True, True)
+
+
+def test_slop_regex_matches_range_formulation():
+    """2-term slop regex ≡ brute-force Lucene range formulation (exists
+    positions p_i with max(p_i - o_i) - min(p_i - o_i) <= slop, distinct
+    positions)."""
+    import itertools
+    import random
+    import re as _re
+
+    from ee_outliers_spark.tokenizer import tokenize_py
+
+    def brute(doc_toks, phrase, slop):
+        pos = {t: [i for i, x in enumerate(doc_toks) if x == t]
+               for t in set(phrase)}
+        if any(not pos[t] for t in phrase):
+            return False
+        for combo in itertools.product(*[pos[t] for t in phrase]):
+            if len(set(combo)) < len(combo):
+                continue
+            adj = [p - o for o, p in enumerate(combo)]
+            if max(adj) - min(adj) <= slop:
+                return True
+        return False
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    for _ in range(1500):
+        doc = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10)))
+        phrase = [rng.choice(vocab), rng.choice(vocab)]
+        slop = rng.randint(0, 4)
+        rx = _re.compile(slop_regex(phrase, slop))
+        assert bool(rx.search(doc)) == brute(tokenize_py(doc), phrase, slop), (
+            doc, phrase, slop)
 
 
 def test_shapes():
@@ -119,6 +170,19 @@ QUERIES = [
     "fast NOT lang:de",
     "fast NOT slow",
     "fast slow NOT zebra",
+    # Lucene multi-term / proximity forms (shipped verbatim to ES by the
+    # reference, so part of its accepted surface)
+    "fas*",
+    "f?st OR zebra",
+    "fash~1",
+    "fast~",
+    'lang:e? AND fast',
+    'source:src1* AND NOT fas*',
+    '"key order"~2',
+    '"order key"~2',
+    '"order key"~1',  # reversed adjacency costs 2 — must NOT match as slop 1
+    "zzz* AND fast",
+    "*",
 ]
 
 DSL_QUERIES = [
