@@ -241,11 +241,30 @@ def main() -> None:
                     spark, bpaths, t, k, m).collect(), reps=LAT_REPS)
         finally:
             shutil.rmtree(big_dir, ignore_errors=True)
+        # positional build at scale: the positions shuffle is O(total
+        # tokens) — the load-bearing cost/benefit number for index-backed
+        # phrases (phrase + sloppy-phrase + wildcard latencies below)
+        big_pos_dir = tempfile.mkdtemp(prefix="bench_big_pos_")
+        try:
+            bpos = btimed("index_build_pos", lambda: build_segments(
+                spark, big, "doc_id", "text", big_pos_dir,
+                num_segments=cpus * 4, resume=False, positions=True))
+            btimed("wand_phrase", lambda: phrase_topk_wand(
+                spark, bpos, "key order", 10).collect(), reps=LAT_REPS)
+            from ee_outliers_spark.index.query import querystring_topk
+            btimed("qs_slop_phrase", lambda: querystring_topk(
+                spark, bpos, '"order key"~2', 10).collect(), reps=LAT_REPS)
+            btimed("qs_wildcard", lambda: querystring_topk(
+                spark, bpos, "cust* window", 10).collect(), reps=LAT_REPS)
+        finally:
+            shutil.rmtree(big_pos_dir, ignore_errors=True)
         big.unpersist()
         big_block = {
             "n_docs_600k": n_big,
             "docs_per_sec_index_build_600k": round(
                 n_big / big_timings["index_build"], 1),
+            "docs_per_sec_index_build_pos_600k": round(
+                n_big / big_timings["index_build_pos"], 1),
             "queries_600k": big_timings,
             "latency_600k": big_latency,
         }
