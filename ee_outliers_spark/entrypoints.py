@@ -422,6 +422,88 @@ def wildcard_topk(spark, sf_dir):
     )
 
 
+# --- full search: scored text atoms + filter context in ONE query ------------
+# The shape every reference use-case file issues (es_query_filter mixes text
+# clauses with field/negated clauses, app/helpers/es.py:238-270): eligibility
+# = the whole boolean (index-backed), score = BM25 sum of the positive text
+# atoms (full-corpus df/idf), field/negated clauses gate but score 0.
+
+_SEARCH_QS = '(window OR "key order" OR cust*) AND lang:en NOT "batch batch"'
+
+
+def _search_topk_sql(k: int) -> str:
+    node = parse_query_string(_SEARCH_QS)
+    pred = to_duckdb_sql(node, "text", DOC_COLS)
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toksarr),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+toks AS (SELECT doc_id, unnest(t) AS term FROM toksarr),
+expanded AS (
+  SELECT DISTINCT term FROM toks WHERE regexp_matches(term, '^(cust[a-z0-9]*)$')
+),
+tfc AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM expanded) OR term = 'window'
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+term_contrib AS (
+  SELECT tfc.doc_id,
+         ln(1 + (stats.n - dft.df + 0.5)/(dft.df + 0.5))
+         * tfc.tf * 2.2 / (tfc.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl))
+           AS contrib
+  FROM tfc JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+ph AS (
+  SELECT doc_id,
+         len(list_filter(generate_series(1, len(t) - 1),
+                         i -> t[i] = 'key' AND t[i+1] = 'order')) AS tf
+  FROM toksarr WHERE len(t) >= 2
+),
+phm AS (SELECT * FROM ph WHERE tf > 0),
+dfp AS (SELECT count(*) AS df FROM phm),
+phrase_contrib AS (
+  SELECT m.doc_id,
+         ln(1 + (stats.n - dfp.df + 0.5)/(dfp.df + 0.5))
+         * m.tf * 2.2 / (m.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) AS contrib
+  FROM phm m JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN dfp
+),
+scores AS (
+  SELECT doc_id, sum(contrib) AS score FROM (
+    SELECT * FROM term_contrib UNION ALL SELECT * FROM phrase_contrib
+  ) GROUP BY doc_id
+),
+eligible AS (SELECT doc_id FROM documents WHERE {pred}),
+final AS (
+  SELECT e.doc_id, coalesce(s.score, 0.0) AS score
+  FROM eligible e LEFT JOIN scores s USING (doc_id)
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM final ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+@register("search_topk_filtered", _search_topk_sql(25))
+def search_topk_filtered(spark, sf_dir):
+    from . import ensure_py_files
+    from .index.query import search_topk
+
+    ensure_py_files(spark)
+    docs = load(spark, sf_dir, "documents")
+    paths = corpus_index(spark, sf_dir)
+    top = search_topk(spark, paths, docs, "doc_id", "text",
+                      _SEARCH_QS, 25, DOC_COLS)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 # --- range queries (ref F3: Lucene [a TO b] + ES range DSL, es.py:252-270) ---
 
 EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]

@@ -472,9 +472,22 @@ def querystring_topk(
     (a distributed termstats/segments scan with the pattern predicate — no
     driver-side term list) and every expanded term contributes its own
     BM25 clause. Sloppy phrases (`"a b"~2`) score with the sloppy tf."""
-    from ..queryparser import collect_query_atoms, parse_query_string
+    from ..queryparser import parse_query_string
 
     node = parse_query_string(query_string)
+    scores = _text_scores(spark, paths, node)
+    if scores is None:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _text_scores(spark: SparkSession, paths: IndexPaths,
+                 node) -> DataFrame | None:
+    """(doc_id, score) = summed BM25 contributions of the AST's positive
+    text atoms (terms / wildcards / fuzzies / phrases), entirely off the
+    index. None when the query has no scorable atoms."""
+    from ..queryparser import collect_query_atoms
+
     atoms = collect_query_atoms(node)
     terms = list(dict.fromkeys(atoms["terms"]))
     stats = load_stats(paths)
@@ -530,12 +543,55 @@ def querystring_topk(
             bm25(F.col("tf"), F.lit(idf)).alias("contrib"),
         ))
     if not contribs:
-        return spark.createDataFrame([], TOPK_SCHEMA)
+        return None
     allc = contribs[0]
     for c in contribs[1:]:
         allc = allc.unionByName(c)
-    agg = allc.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
-    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return allc.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+
+
+def search_topk(
+    spark: SparkSession,
+    paths: IndexPaths,
+    docs: DataFrame,
+    doc_col: str,
+    text_col: str,
+    query_string: str,
+    k: int,
+    columns: list[str],
+) -> DataFrame:
+    """The complete ES query execution in one call (the shape every
+    reference use-case file issues — es_query_filter mixes scored text
+    clauses with field/negated clauses, app/helpers/es.py:238-270):
+
+    - ELIGIBILITY: the full boolean matches (index-backed ``indexed_filter``
+      — posting semi-joins, positional phrases, dictionary patterns; no
+      corpus-text regex),
+    - SCORE: the sum of the positive text atoms' BM25 contributions off the
+      index (``_text_scores``). Field/negated clauses gate but score 0,
+      like ES filter context; eligible docs with no scorable text atom rank
+      by doc_id at score 0.
+
+    Returns (doc_id, score) top-k. Both legs read posting lists; the score
+    join is doc_id-keyed and candidate-sized, never corpus-sized."""
+    from ..index.filter import indexed_filter
+
+    eligible = indexed_filter(
+        spark, paths, docs, doc_col, text_col,
+        __parse(query_string), columns,
+    ).select(F.col(doc_col).cast("long").alias("doc_id"))
+    scores = _text_scores(spark, paths, __parse(query_string))
+    if scores is None:
+        out = eligible.withColumn("score", F.lit(0.0))
+    else:
+        out = eligible.join(scores, "doc_id", "left").select(
+            "doc_id", F.coalesce(F.col("score"), F.lit(0.0)).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def __parse(query_string: str):
+    from ..queryparser import parse_query_string
+    return parse_query_string(query_string)
 
 
 # --------------------------------------------------------------------------

@@ -326,6 +326,36 @@ def test_sloppy_phrase_three_terms_positional(spark, documents, pos_paths):
         assert got == want, (phrase, slop)
 
 
+def test_search_topk_composed(spark, documents, pos_paths):
+    """search_topk = eligibility from the whole boolean + score from the
+    positive text atoms; docs eligible through a field-only branch score
+    0.0 and rank by doc_id at the bottom (ES filter-context semantics)."""
+    from ee_outliers_spark.index.query import querystring_topk, search_topk
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    # field-only query: every eligible doc scores 0, ordered by doc_id
+    out = search_topk(spark, pos_paths, documents, "doc_id", "text",
+                      "lang:en", 5, cols).collect()
+    want = sorted(r["doc_id"] for r in documents.where(
+        "lang = 'en'").select("doc_id").collect())[:5]
+    assert [int(r["doc_id"]) for r in out] == [int(x) for x in want]
+    assert all(float(r["score"]) == 0.0 for r in out)
+
+    # text+filter query: scores equal the unfiltered scorer's on the
+    # eligible subset (df/idf stay corpus-global, not filtered)
+    full = {int(r["doc_id"]): float(r["score"]) for r in querystring_topk(
+        spark, pos_paths, "customer window", 10_000).collect()}
+    got = search_topk(spark, pos_paths, documents, "doc_id", "text",
+                      "(customer OR window) AND lang:de", 10, cols).collect()
+    en_ids = {int(r["doc_id"]) for r in documents.where(
+        "lang = 'de'").select("doc_id").collect()}
+    assert got, "expected matches"
+    for r in got:
+        d = int(r["doc_id"])
+        assert d in en_ids
+        assert abs(float(r["score"]) - full[d]) < 1e-9
+
+
 def test_indexed_filter_phrases_off_positional_index(spark, documents, pos_paths):
     """On a positional index the filter context resolves quoted phrases by
     position-list intersection: the compiled plan contains NO regex at all
