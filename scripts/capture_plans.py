@@ -77,6 +77,29 @@ sections.append((
     "all index-side, no corpus scan",
     querystring_topk(spark, paths, 'customer window "key order"', 10),
 ))
+wnode = parse_query_string('cust* AND custoner~1 AND "order key"~2')
+sections.append((
+    "Wildcard / fuzzy / sloppy-phrase filter (dictionary predicates)",
+    "wildcard and fuzzy atoms are DICTIONARY predicates on the segment "
+    "scan's term column (prefix patterns push down as StartsWith; the "
+    "levenshtein bound runs on dictionary rows, never corpus text); the "
+    "sloppy phrase intersects positional windows per segment; the ONLY "
+    "rlike in this plan is over the term dictionary column — corpus text "
+    "is never regex-scanned",
+    indexed_filter(spark, paths, docs, "doc_id", "text", wnode,
+                   ["doc_id", "text", "lang", "source", "n_chars"]),
+))
+from ee_outliers_spark.index.query import search_topk  # noqa: E402
+
+sections.append((
+    "Full search: scored text atoms + filter context (search_topk)",
+    "eligibility = indexed_filter of the whole boolean; score = BM25 sum "
+    "of the text atoms (posting + positional reads); the score join is "
+    "doc_id-keyed on the candidate set, never corpus-sized",
+    search_topk(spark, paths, docs, "doc_id", "text",
+                '(window OR "key order" OR cust*) AND lang:en', 10,
+                ["doc_id", "text", "lang", "source", "n_chars"]),
+))
 sections.append((
     "Terms analyzer (within aggregator)",
     "two hash aggregations with map-side partial agg + equi-join back; "
