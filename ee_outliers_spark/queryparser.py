@@ -266,6 +266,16 @@ class _Parser:
             if nk == "colon":
                 self.take()
                 vk, vv = self.peek()
+                if vk == "lparen":
+                    # Lucene field grouping: `lang:(en OR de)` scopes every
+                    # value atom in the group to the field
+                    self.take()
+                    inner = self.or_expr()
+                    ck, _ = self.take()
+                    if ck != "rparen":
+                        raise ValueError(
+                            f"unbalanced parentheses in {val}:(...)")
+                    return _scope_to_field(inner, val)
                 if vk in ("lbrack", "lbrace"):
                     return self._range(val)
                 if vk == "cmp":
@@ -284,6 +294,8 @@ class _Parser:
                 if vk == "word":
                     if val == "_exists_":
                         return Exists(vv)
+                    if vv == "*":
+                        return Exists(val)  # `field:*` = exists (Lucene)
                     if "*" in vv or "?" in vv:
                         return FieldWildcard(val, vv)
                     return FieldEq(val, vv)
@@ -339,6 +351,23 @@ class _Parser:
         if ck not in ("rbrack", "rbrace"):
             raise ValueError(f"unterminated range for {field}")
         return FieldRange(field, lo, hi, lo_inc, ck == "rbrack")
+
+
+def _scope_to_field(node, field: str):
+    """Rewrite the value atoms of a Lucene field group (`field:(a OR "b c"
+    OR pat*)`) to field predicates; boolean structure is preserved."""
+    if isinstance(node, (Term, Phrase)):
+        return FieldEq(field, node.text)
+    if isinstance(node, Wildcard):
+        return FieldWildcard(field, node.text)
+    if isinstance(node, And):
+        return And([_scope_to_field(p, field) for p in node.parts])
+    if isinstance(node, Or):
+        return Or([_scope_to_field(p, field) for p in node.parts])
+    if isinstance(node, Not):
+        return Not(_scope_to_field(node.part, field))
+    raise ValueError(
+        f"unsupported atom {type(node).__name__} inside {field}:(...) group")
 
 
 def parse_query_string(s: str):
@@ -738,8 +767,9 @@ def dsl_to_ast(d: dict):
     filters to every model query, app/helpers/es.py:252-270 / :537-565).
 
     Supported: bool (must/should/must_not/filter), term, terms, range
-    (gt/gte/lt/lte), exists, query_string, match_all. Compiles through the
-    same three backends as the query_string grammar."""
+    (gt/gte/lt/lte), exists, query_string, match_all, prefix, wildcard,
+    fuzzy, match_phrase (with slop). Compiles through the same three
+    backends as the query_string grammar."""
     if not isinstance(d, dict) or len(d) != 1:
         raise ValueError(f"expected a single-key DSL dict, got {d!r}")
     kind, body = next(iter(d.items()))
@@ -747,6 +777,34 @@ def dsl_to_ast(d: dict):
         return MatchAll()
     if kind == "query_string":
         return parse_query_string(body["query"] if isinstance(body, dict) else body)
+    if kind == "prefix":
+        (f, v), = body.items()
+        if isinstance(v, dict):
+            v = v["value"]
+        return FieldWildcard(f, f"{v}*")
+    if kind == "wildcard":
+        (f, v), = body.items()
+        if isinstance(v, dict):
+            v = v.get("value", v.get("wildcard"))
+        return FieldWildcard(f, str(v))
+    if kind == "fuzzy":
+        (f, v), = body.items()
+        fuzz = 2
+        if isinstance(v, dict):
+            fuzz = int(v.get("fuzziness", 2))
+            v = v["value"]
+        # ES fuzzy runs on a FIELD's terms; our text field is the analyzed
+        # corpus column, other fields are keyword-exact — mirror the F2
+        # Fuzzy atom on the text column, which is where the reference's
+        # fuzzy use lands
+        return Fuzzy(str(v), min(fuzz, 2))
+    if kind == "match_phrase":
+        (f, v), = body.items()
+        slop = 0
+        if isinstance(v, dict):
+            slop = int(v.get("slop", 0))
+            v = v["query"]
+        return Phrase(str(v), slop=slop)
     if kind == "term":
         (f, v), = body.items()
         if isinstance(v, dict):

@@ -25,6 +25,15 @@ def test_multiterm_shapes():
     assert parse_query_string("lang:e?") == FieldWildcard("lang", "e?")
     assert parse_query_string("source:src1*") == FieldWildcard("source", "src1*")
     assert parse_query_string("*") == MatchAll()
+    assert parse_query_string("lang:*") == Exists("lang")
+    assert parse_query_string("lang:(en OR de)") == Or(
+        [FieldEq("lang", "en"), FieldEq("lang", "de")])
+    assert parse_query_string('source:(src1 "src2")') == Or(
+        [FieldEq("source", "src1"), FieldEq("source", "src2")])
+    assert parse_query_string("source:(src1* AND NOT src19)") == And(
+        [FieldWildcard("source", "src1*"), Not(FieldEq("source", "src19"))])
+    with pytest.raises(ValueError):
+        parse_query_string("lang:(n_chars:5)")  # field atom inside group
     # `*` as a range bound stays an open bound, not a wildcard
     assert parse_query_string("n_chars:[* TO 5]") == FieldRange(
         "n_chars", None, "5", True, True)
@@ -146,8 +155,13 @@ def test_dsl_subset():
     assert dsl_to_ast({"match_all": {}}) == MatchAll()
     qs = dsl_to_ast({"query_string": {"query": "lang:en"}})
     assert qs == FieldEq("lang", "en")
+    assert dsl_to_ast({"fuzzy": {"text": "x"}}) == Fuzzy("x", 2)
+    assert dsl_to_ast({"prefix": {"source": "src1"}}) == FieldWildcard(
+        "source", "src1*")
+    assert dsl_to_ast({"match_phrase": {"text": {"query": "a b", "slop": 3}}}
+                      ) == Phrase("a b", slop=3)
     with pytest.raises(ValueError):
-        dsl_to_ast({"fuzzy": {"text": "x"}})
+        dsl_to_ast({"more_like_this": {"fields": ["text"]}})
 
 
 QUERIES = [
@@ -183,6 +197,10 @@ QUERIES = [
     '"order key"~1',  # reversed adjacency costs 2 — must NOT match as slop 1
     "zzz* AND fast",
     "*",
+    "lang:(en OR de) AND fast",
+    "lang:(en de)",          # adjacency inside a field group is OR
+    "source:(src1 OR src1*) AND NOT lang:(zh)",
+    "lang:* AND fast",       # field:* = exists
 ]
 
 DSL_QUERIES = [
@@ -191,6 +209,12 @@ DSL_QUERIES = [
               "must_not": [{"term": {"lang": "de"}}]}},
     {"terms": {"lang": ["en", "fr"]}},
     {"match_all": {}},
+    {"prefix": {"source": "src1"}},
+    {"wildcard": {"lang": {"value": "e?"}}},
+    {"fuzzy": {"text": {"value": "custoner", "fuzziness": 1}}},
+    {"match_phrase": {"text": {"query": "order key", "slop": 2}}},
+    {"bool": {"must": [{"match_phrase": {"text": "key order"}}],
+              "must_not": [{"wildcard": {"source": "src1*"}}]}},
 ]
 
 
