@@ -1089,10 +1089,11 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
     return out.select("id1", "id2").orderBy("id1", "id2")
 
 
-def _minhash_sql(k: int = 3, num_perm: int = 64, bands: int = 16,
-                 threshold: float = 0.5, seed: int = 42) -> str:
-    """DuckDB twin of the full MinHash-LSH pipeline — md5-based universal
-    hashing makes the signatures engine-independent integers."""
+def _minhash_ctes(k: int = 3, num_perm: int = 64, bands: int = 16,
+                  threshold: float = 0.5, seed: int = 42) -> str:
+    """DuckDB twin of the full MinHash-LSH pipeline as a CTE chain ending
+    in ``mh_pairs(id1, id2)`` — md5-based universal hashing makes the
+    signatures engine-independent integers."""
     from .operators.dedup import MINHASH_P, _minhash_coeffs, md5_long_sql
 
     coeffs = _minhash_coeffs(num_perm, seed)
@@ -1111,8 +1112,7 @@ def _minhash_sql(k: int = 3, num_perm: int = 64, bands: int = 16,
         f"(CASE WHEN s1.h{i} = s2.h{i} THEN 1 ELSE 0 END)"
         for i in range(num_perm)
     )
-    return f"""
-WITH sh AS (
+    ctes = f"""sh AS (
   SELECT doc_id AS _id,
          list_distinct([array_to_string(t[i:i+{k - 1}], ' ')
                         for i in generate_series(1, len(t) - {k - 1})]) AS grams
@@ -1130,14 +1130,59 @@ cand AS (
   SELECT DISTINCT a._id AS id1, b._id AS id2
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bucket = b.bucket AND a._id < b._id
+),
+mh_pairs AS (
+  SELECT id1, id2
+  FROM cand
+  JOIN sig s1 ON s1._id = id1
+  JOIN sig s2 ON s2._id = id2
+  WHERE ({eqs}) >= {threshold} * {num_perm}
+)"""
+    return ctes
+
+
+def _minhash_sql() -> str:
+    return (f"WITH {_minhash_ctes()}\n"
+            f"SELECT id1, id2 FROM mh_pairs ORDER BY id1, id2")
+
+
+def _dedup_clusters_sql() -> str:
+    """Connected components over the MinHash near-dup pairs: min reachable
+    id per node via a recursive CTE (the oracle explores all walks; the
+    Spark side converges the same labels by min-propagation + pointer
+    doubling)."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM mh_pairs
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM mh_pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
 )
-SELECT id1, id2
-FROM cand
-JOIN sig s1 ON s1._id = id1
-JOIN sig s2 ON s2._id = id2
-WHERE ({eqs}) >= {threshold} * {num_perm}
-ORDER BY id1, id2
+SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id ORDER BY id
 """
+
+
+@register("dedup_clusters", _dedup_clusters_sql())
+def dedup_clusters_q(spark, sf_dir):
+    """Pairs → duplicate groups: the canonicalization step after any pair
+    generator. Min-label propagation with pointer doubling (O(log
+    diameter) rounds, each a doc_id-keyed shuffle)."""
+    from .operators.dedup import duplicate_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        k=3, num_perm=64, bands=16, threshold=0.5,
+    )
+    return (duplicate_clusters(pairs)
+            .select(F.col("id").cast("long").alias("id"), "cluster_id")
+            .orderBy("id"))
 
 
 @register("dedup_minhash_lsh", _minhash_sql())

@@ -269,3 +269,44 @@ def test_embedding_neardup_lsh_matches_exact_on_clusters(spark):
         n_bits=12, n_tables=8).collect()}
     assert exact  # sanity: clusters produce pairs
     assert approx == exact
+
+
+def test_duplicate_clusters_chain_and_components(spark):
+    """Connected components over pairs: a 64-node chain collapses to one
+    cluster (pointer doubling -> O(log n) rounds, verified via max_iter far
+    below the chain length), disjoint components keep distinct min-id
+    labels, and a union-find brute force agrees on a random graph."""
+    from ee_outliers_spark.operators.dedup import duplicate_clusters
+
+    chain = [(i, i + 1) for i in range(63)]
+    out = duplicate_clusters(
+        spark.createDataFrame(chain, "id1 long, id2 long"), max_iter=10)
+    rows = {int(r["id"]): int(r["cluster_id"]) for r in out.collect()}
+    assert set(rows) == set(range(64))
+    assert set(rows.values()) == {0}
+
+    # random sparse graph vs union-find
+    import random
+
+    rng = random.Random(11)
+    pairs = sorted({tuple(sorted((rng.randrange(40), rng.randrange(40))))
+                    for _ in range(25)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    parent = list(range(40))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted({x for p in pairs for x in p})
+    want = {x: find(x) for x in nodes}
+    out = duplicate_clusters(
+        spark.createDataFrame(pairs, "id1 long, id2 long"))
+    got = {int(r["id"]): int(r["cluster_id"]) for r in out.collect()}
+    assert got == want
