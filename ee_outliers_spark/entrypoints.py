@@ -275,6 +275,74 @@ FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+_BOOST_QS = 'customer^2 window "key order"^0.5'
+
+
+def _boosted_qs_sql(k: int) -> str:
+    """Mixed-scoring oracle with Lucene boosts: each clause contribution
+    multiplied by its boost (customer ×2, phrase ×0.5, window ×1)."""
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toksarr),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, unnest(t) AS term FROM toksarr),
+tfc AS (
+  SELECT doc_id, term, count(*) AS tf FROM tf
+  WHERE term IN ('customer', 'window') GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+term_contrib AS (
+  SELECT tfc.doc_id,
+         (CASE WHEN term = 'customer' THEN 2.0 ELSE 1.0 END)
+         * ln(1 + (stats.n - dft.df + 0.5)/(dft.df + 0.5))
+         * tfc.tf * 2.2 / (tfc.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl))
+           AS contrib
+  FROM tfc JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+ph AS (
+  SELECT doc_id,
+         len(list_filter(generate_series(1, len(t) - 1),
+                         i -> t[i] = 'key' AND t[i+1] = 'order')) AS tf
+  FROM toksarr WHERE len(t) >= 2
+),
+phm AS (SELECT * FROM ph WHERE tf > 0),
+dfp AS (SELECT count(*) AS df FROM phm),
+phrase_contrib AS (
+  SELECT m.doc_id,
+         0.5 * ln(1 + (stats.n - dfp.df + 0.5)/(dfp.df + 0.5))
+         * m.tf * 2.2 / (m.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) AS contrib
+  FROM phm m JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN dfp
+),
+scores AS (
+  SELECT doc_id, sum(contrib) AS score FROM (
+    SELECT * FROM term_contrib UNION ALL SELECT * FROM phrase_contrib
+  ) GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+@register("boosted_topk", _boosted_qs_sql(20))
+def boosted_topk(spark, sf_dir):
+    """Lucene clause boosts (`term^2`, `"phrase"^0.5`) scale BM25
+    contributions; ranking re-derived from raw text in the oracle."""
+    from . import ensure_py_files
+    from .index.query import querystring_topk
+
+    ensure_py_files(spark)
+    paths = corpus_index(spark, sf_dir)
+    top = querystring_topk(spark, paths, _BOOST_QS, 20)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 @register("querystring_topk_mixed", _mixed_qs_sql(20))
 def querystring_topk_mixed(spark, sf_dir):
     """ES's flagship surface: one query_string mixing bare terms and a

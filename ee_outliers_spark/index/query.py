@@ -489,7 +489,6 @@ def _text_scores(spark: SparkSession, paths: IndexPaths,
     from ..queryparser import collect_query_atoms
 
     atoms = collect_query_atoms(node)
-    terms = list(dict.fromkeys(atoms["terms"]))
     stats = load_stats(paths)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
 
@@ -501,7 +500,9 @@ def _text_scores(spark: SparkSession, paths: IndexPaths,
         )
 
     contribs: list[DataFrame] = []
-    if terms:
+    if atoms["terms"]:
+        boosts = dict(atoms["terms"])
+        terms = list(boosts)
         tstats = {
             r["term"]: int(r["df"])
             for r in spark.read.parquet(paths.termstats)
@@ -510,17 +511,18 @@ def _text_scores(spark: SparkSession, paths: IndexPaths,
         present = [t for t in terms if t in tstats]
         if present:
             post = posting_tfs_df(spark, paths, present)
+            # boost scales the clause contribution (Lucene `term^b`);
+            # folded into the per-term idf weight
             idf_map = F.create_map(
                 *[F.lit(x) for t in present
-                  for x in (t, _idf(n_docs, tstats[t]))])
+                  for x in (t, _idf(n_docs, tstats[t]) * boosts[t])])
             contribs.append(post.select(
                 "doc_id",
                 bm25(F.col("tf"), idf_map[F.col("term")]).alias("contrib"),
             ))
-    preds = [wildcard_term_pred(w) for w in dict.fromkeys(atoms["wildcards"])]
-    preds += [fuzzy_term_pred(t, n)
-              for t, n in dict.fromkeys(atoms["fuzzies"])]
-    for pred in preds:
+    preds = [(wildcard_term_pred(w), b) for w, b in atoms["wildcards"]]
+    preds += [(fuzzy_term_pred(t, n), b) for t, n, b in atoms["fuzzies"]]
+    for pred, boost in preds:
         if pred is None:
             continue
         exp_stats = spark.read.parquet(paths.termstats).where(pred).select(
@@ -528,16 +530,16 @@ def _text_scores(spark: SparkSession, paths: IndexPaths,
         post = posting_tfs_df(spark, paths, term_pred=pred)
         idf_col = F.log(
             1.0 + (F.lit(float(n_docs)) - F.col("__df") + 0.5)
-            / (F.col("__df") + 0.5))
+            / (F.col("__df") + 0.5)) * F.lit(float(boost))
         contribs.append(
             post.join(F.broadcast(exp_stats), "term").select(
                 "doc_id", bm25(F.col("tf"), idf_col).alias("contrib")))
-    for p, slop in dict.fromkeys(atoms["phrases"]):
+    for p, slop, boost in atoms["phrases"]:
         hits = phrase_matches_df(spark, paths, p, slop).cache()
         dfp = hits.count()
         if dfp == 0:
             continue
-        idf = _idf(n_docs, int(dfp))
+        idf = _idf(n_docs, int(dfp)) * float(boost)
         contribs.append(hits.select(
             "doc_id",
             bm25(F.col("tf"), F.lit(idf)).alias("contrib"),

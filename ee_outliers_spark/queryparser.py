@@ -44,6 +44,7 @@ from .tokenizer import phrase_regex, tokenize_py, tokens_col, tokens_sql
 @dataclass
 class Term:
     text: str
+    boost: float = 1.0
 
 
 @dataclass
@@ -55,6 +56,7 @@ class Phrase:
     budget — reversed adjacent terms cost 2, one in-order gap costs 1)."""
     text: str
     slop: int = 0
+    boost: float = 1.0
 
 
 @dataclass
@@ -66,6 +68,7 @@ class Wildcard:
     accepted surface. Index-backed execution expands the pattern against
     the term dictionary (Lucene MultiTermQuery rewrite)."""
     text: str
+    boost: float = 1.0
 
 
 @dataclass
@@ -77,6 +80,7 @@ class Fuzzy:
     identity). Bare `~` = 2, Lucene's default."""
     text: str
     max_edits: int = 2
+    boost: float = 1.0
 
 
 @dataclass
@@ -143,14 +147,15 @@ _TOKEN_SPEC = re.compile(
         (?P<quoted>"(?P<qbody>[^"]*)") |
         (?P<neg>-) |
         (?P<fuzz>~(?P<fuzznum>\d+)?) |
-        (?P<word>[^\s()\[\]{}"<>:~]+) |
+        (?P<boost>\^(?P<boostnum>\d+(\.\d+)?)?) |
+        (?P<word>[^\s()\[\]{}"<>:~^]+) |
         (?P<colon>:)
     )""",
     re.VERBOSE,
 )
 
 _LEX_KINDS = ("lparen", "rparen", "lbrack", "rbrack", "lbrace", "rbrace",
-              "cmp", "neg", "fuzz", "word", "colon")
+              "cmp", "neg", "fuzz", "boost", "word", "colon")
 
 
 def _lex(s: str) -> list[tuple[str, str]]:
@@ -243,7 +248,17 @@ class _Parser:
         if kind == "neg" or (kind == "word" and val.upper() == "NOT"):
             self.take()
             return Not(self.unary())
-        return self.atom()
+        node = self.atom()
+        nk, nv = self.peek()
+        if nk == "boost":
+            # Lucene boost binds to the preceding atom or (group): scales
+            # the BM25 contribution of every text atom underneath; field/
+            # negated clauses are filter-only so boost is a scoring no-op
+            self.take()
+            if len(nv) == 1:
+                raise ValueError("boost (^) requires a number")
+            node = _apply_boost(node, float(nv[1:]))
+        return node
 
     def atom(self):
         kind, val = self.take()
@@ -351,6 +366,20 @@ class _Parser:
         if ck not in ("rbrack", "rbrace"):
             raise ValueError(f"unterminated range for {field}")
         return FieldRange(field, lo, hi, lo_inc, ck == "rbrack")
+
+
+def _apply_boost(node, b: float):
+    """Distribute a Lucene boost over the node's positive text atoms —
+    score contributions are summed, so `(a b)^2` ≡ `a^2 b^2` exactly."""
+    from dataclasses import replace as _replace
+
+    if isinstance(node, (Term, Phrase, Wildcard, Fuzzy)):
+        return _replace(node, boost=node.boost * b)
+    if isinstance(node, And):
+        return And([_apply_boost(p, b) for p in node.parts])
+    if isinstance(node, Or):
+        return Or([_apply_boost(p, b) for p in node.parts])
+    return node  # Not / field atoms / ranges: filter-only, boost is no-op
 
 
 def _scope_to_field(node, field: str):
@@ -873,10 +902,18 @@ def collect_text_terms(node) -> tuple[list[str], list[str]]:
 
 def collect_query_atoms(node) -> dict:
     """All positive scored text atoms for the index-backed query_string
-    scorer: {'terms': [token], 'phrases': [(text, slop)],
-    'wildcards': [pattern], 'fuzzies': [(token, max_edits)]}. Negated and
-    field clauses are filter-only (ES scoring semantics)."""
+    scorer: {'terms': [(token, boost)], 'phrases': [(text, slop, boost)],
+    'wildcards': [(pattern, boost)], 'fuzzies': [(token, max_edits,
+    boost)]}. Negated and field clauses are filter-only (ES scoring
+    semantics). Duplicate atoms (ignoring boost) keep the first occurrence
+    — matching the engine's established dedup of repeated literal terms."""
     out = {"terms": [], "phrases": [], "wildcards": [], "fuzzies": []}
+    seen: set = set()
+
+    def add(kind, key, entry):
+        if (kind, key) not in seen:
+            seen.add((kind, key))
+            out[kind].append(entry)
 
     def walk(n, neg: bool):
         if neg:
@@ -887,15 +924,17 @@ def collect_query_atoms(node) -> dict:
                     walk(p, True)
             return
         if isinstance(n, Term):
-            out["terms"].extend(tokenize_py(n.text))
+            for t in tokenize_py(n.text):
+                add("terms", t, (t, n.boost))
         elif isinstance(n, Phrase):
-            out["phrases"].append((n.text, n.slop))
+            add("phrases", (n.text, n.slop), (n.text, n.slop, n.boost))
         elif isinstance(n, Wildcard):
-            out["wildcards"].append(n.text)
+            add("wildcards", n.text, (n.text, n.boost))
         elif isinstance(n, Fuzzy):
             toks = tokenize_py(n.text)
             if len(toks) == 1:
-                out["fuzzies"].append((toks[0], n.max_edits))
+                add("fuzzies", (toks[0], n.max_edits),
+                    (toks[0], n.max_edits, n.boost))
         elif isinstance(n, (And, Or)):
             for p in n.parts:
                 walk(p, neg)

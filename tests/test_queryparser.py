@@ -39,6 +39,20 @@ def test_multiterm_shapes():
         "n_chars", None, "5", True, True)
 
 
+def test_boost_shapes():
+    assert parse_query_string("fast^2") == Term("fast", boost=2.0)
+    assert parse_query_string('"a b"~2^3') == Phrase("a b", slop=2, boost=3.0)
+    assert parse_query_string("cust*^1.5") == Wildcard("cust*", boost=1.5)
+    assert parse_query_string("name~1^2") == Fuzzy("name", 1, boost=2.0)
+    # group boost distributes over the summed clauses: (a b)^2 == a^2 b^2
+    assert parse_query_string("(fast slow)^2") == Or(
+        [Term("fast", boost=2.0), Term("slow", boost=2.0)])
+    # boost on filter-only atoms parses and is a scoring no-op
+    assert parse_query_string("lang:en^2") == FieldEq("lang", "en")
+    with pytest.raises(ValueError):
+        parse_query_string("fast^")
+
+
 def test_slop_regex_matches_range_formulation():
     """2-term slop regex ≡ brute-force Lucene range formulation (exists
     positions p_i with max(p_i - o_i) - min(p_i - o_i) <= slop, distinct
