@@ -79,10 +79,39 @@ def highlight_terms(query_string: str, text_col: str = "text") -> Column:
                 F.lit(p),
             )
         )
+    for w in _positive_wildcards(node):
+        from ..queryparser import _wildcard_regex
+
+        frags.append(
+            F.when(
+                F.lower(F.col(text_col)).rlike(_wildcard_regex(w)), F.lit(w)
+            )
+        )
     if not frags:
         return F.array().cast("array<string>")
     arr = F.array(*frags)
     return F.filter(arr, lambda v: v.isNotNull())
+
+
+def _positive_wildcards(node) -> list[str]:
+    """Positive Wildcard atom patterns (for highlighting; fuzzy atoms are
+    skipped — their matched surface form depends on the dictionary
+    expansion, which highlight evaluates per row without an index)."""
+    from ..queryparser import And, Not, Or, Wildcard
+
+    out: list[str] = []
+
+    def walk(n, neg):
+        if isinstance(n, Wildcard) and not neg:
+            out.append(n.text)
+        elif isinstance(n, (And, Or)):
+            for p in n.parts:
+                walk(p, neg)
+        elif isinstance(n, Not):
+            walk(n.part, not neg)
+
+    walk(node, False)
+    return list(dict.fromkeys(out))
 
 
 def wrap_regex(tokens: list[str]) -> str:
@@ -111,6 +140,15 @@ def highlight_fragment(query_string: str, text_col: str = "text") -> Column:
         col = F.regexp_replace(
             col, "(?i)" + wrap_regex([t]), "$1<value>$2</value>$3"
         )
+    for w in _positive_wildcards(node):
+        from ..queryparser import wildcard_token_body
+
+        body = wildcard_token_body(w)
+        if body is not None:
+            col = F.regexp_replace(
+                col, f"(?i)(^|[^a-zA-Z0-9])({body})($|[^a-zA-Z0-9])",
+                "$1<value>$2</value>$3",
+            )
     return col
 
 

@@ -239,3 +239,29 @@ def test_nested_field_drops_sentence_x10(spark):
     out3 = terms_outliers(df3, ["grp"], "tgt", "across_aggregators",
                           "float", 2.0, "low")
     assert out3.count() > 0
+
+
+def test_highlight_wildcard_atoms(spark):
+    """Wildcard atoms highlight every matching token (case-preserving,
+    value-wrapped) and report the pattern in the matched-terms array."""
+    from ee_outliers_spark.operators.simplequery import (
+        extract_matched_values, highlight_fragment, highlight_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The Customer opened a custom Window"), (2, "no match")],
+        "id long, text string")
+    out = df.select(
+        "id",
+        highlight_fragment("cust* AND window", "text").alias("frag"),
+        highlight_terms("cust* AND window", "text").alias("hits"),
+    ).orderBy("id").collect()
+    assert out[0]["frag"] == ("The <value>Customer</value> opened a "
+                              "<value>custom</value> <value>Window</value>")
+    assert list(out[0]["hits"]) == ["window", "cust*"]
+    assert out[1]["frag"] == "no match"
+    vals = df.select(extract_matched_values(
+        highlight_fragment("cust*", "text")).alias("v")).orderBy(
+        F.lit(1)).collect()
+    assert sorted(list(vals[0]["v"]) + list(vals[1]["v"])) == [
+        "Customer", "custom"]
