@@ -1688,6 +1688,55 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- deterministic splits & stratified sampling (training-data pipeline) ----
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_STRATA_FRACS = {"en": 0.1, "de": 0.5, "fr": 1.0}
+
+
+def _split_sql() -> str:
+    from .operators.sampling import split_case_sql
+
+    return (f"SELECT doc_id, {split_case_sql('doc_id', _SPLIT_WEIGHTS)} "
+            f"AS split FROM documents ORDER BY doc_id")
+
+
+@register("train_val_split", _split_sql())
+def train_val_split_q(spark, sf_dir):
+    """Deterministic train/val/test assignment: pure narrow map on a
+    seeded md5 bucket — no shuffle, stable under re-runs/re-partitioning
+    (eval-set contamination guard); the oracle recomputes the identical
+    bucket arithmetic in SQL."""
+    from .operators.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    return (hash_split(docs, "doc_id", _SPLIT_WEIGHTS)
+            .select("doc_id", "split").orderBy("doc_id"))
+
+
+def _strat_sql() -> str:
+    from .operators.sampling import DENOM, stratified_bucket_sql
+
+    b = stratified_bucket_sql("doc_id", ["lang"])
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN {int(round(f * DENOM))}"
+        for v, f in _STRATA_FRACS.items())
+    return (f"SELECT doc_id FROM documents "
+            f"WHERE {b} < (CASE {cases} ELSE 0 END) ORDER BY doc_id")
+
+
+@register("stratified_sample_lang", _strat_sql())
+def stratified_sample_lang_q(spark, sf_dir):
+    """Corpus rebalancing: cap the head language at 10%, mid at 50%, keep
+    the tail, drop the rest — per-stratum deterministic hash sampling,
+    zero exchanges in the plan at any scale."""
+    from .operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return (stratified_sample(docs, "doc_id", ["lang"], _STRATA_FRACS)
+            .select("doc_id").orderBy("doc_id"))
+
+
 @register("token_count_bpe", _bpe_sql())
 def token_count_bpe_q(spark, sf_dir):
     """Whitespace-word vs BPE-ish token counts per document (the

@@ -310,3 +310,45 @@ def test_duplicate_clusters_chain_and_components(spark):
         spark.createDataFrame(pairs, "id1 long, id2 long"))
     got = {int(r["id"]): int(r["cluster_id"]) for r in out.collect()}
     assert got == want
+
+
+def test_hash_split_deterministic_and_shuffle_free(spark, documents):
+    """Split assignment is a pure function of (id, seed): identical across
+    partitionings; proportions near the weights; the plan has NO exchange
+    (narrow map — the property that survives 100 TB)."""
+    from ee_outliers_spark.operators.sampling import (
+        hash_split, stratified_sample,
+    )
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(
+        documents, "doc_id", w).select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(
+        documents.repartition(13), "doc_id", w)
+        .select("doc_id", "split").collect()}
+    assert a == b
+    n = len(a)
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert abs(counts["train"] / n - 0.8) < 0.1
+    assert set(counts) == {"train", "val", "test"}
+    # different seed reshuffles membership
+    c = {r["doc_id"]: r["split"] for r in hash_split(
+        documents, "doc_id", w, seed=7).select("doc_id", "split").collect()}
+    assert c != a
+
+    plan = (hash_split(documents, "doc_id", w)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan
+
+    samp = stratified_sample(documents, "doc_id", ["lang"],
+                             {"en": 0.2, "de": 1.0})
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = samp.select("doc_id", "lang").collect()
+    langs = {r["lang"] for r in rows}
+    assert langs <= {"en", "de"}
+    n_de_all = documents.where("lang = 'de'").count()
+    n_de = sum(1 for r in rows if r["lang"] == "de")
+    assert n_de == n_de_all  # fraction 1.0 keeps every row of the stratum
