@@ -500,37 +500,42 @@ def _text_scores(spark: SparkSession, paths: IndexPaths,
         )
 
     contribs: list[DataFrame] = []
+    # ONE fused dictionary scan for every term-shaped atom (literal terms,
+    # wildcards, fuzzies): the combined predicate rides the segment parquet
+    # scan once, and each dictionary term carries the SUM of the boosts of
+    # the atoms it satisfies — exact under score summation (a term matched
+    # by both a literal and a pattern contributes both clauses), and N
+    # atoms cost one scan + one shuffle instead of N of each.
+    legs: list[tuple[Column, Column]] = []  # (term predicate, weight)
     if atoms["terms"]:
         boosts = dict(atoms["terms"])
         terms = list(boosts)
-        tstats = {
-            r["term"]: int(r["df"])
-            for r in spark.read.parquet(paths.termstats)
-            .where(F.col("term").isin(terms)).collect()
-        }
-        present = [t for t in terms if t in tstats]
-        if present:
-            post = posting_tfs_df(spark, paths, present)
-            # boost scales the clause contribution (Lucene `term^b`);
-            # folded into the per-term idf weight
-            idf_map = F.create_map(
-                *[F.lit(x) for t in present
-                  for x in (t, _idf(n_docs, tstats[t]) * boosts[t])])
-            contribs.append(post.select(
-                "doc_id",
-                bm25(F.col("tf"), idf_map[F.col("term")]).alias("contrib"),
-            ))
-    preds = [(wildcard_term_pred(w), b) for w, b in atoms["wildcards"]]
-    preds += [(fuzzy_term_pred(t, n), b) for t, n, b in atoms["fuzzies"]]
-    for pred, boost in preds:
-        if pred is None:
-            continue
-        exp_stats = spark.read.parquet(paths.termstats).where(pred).select(
-            "term", F.col("df").cast("double").alias("__df"))
-        post = posting_tfs_df(spark, paths, term_pred=pred)
+        w_map = F.create_map(
+            *[F.lit(x) for t in terms for x in (t, float(boosts[t]))])
+        legs.append((F.col("term").isin(terms), w_map[F.col("term")]))
+    for w, b in atoms["wildcards"]:
+        pred = wildcard_term_pred(w)
+        if pred is not None:
+            legs.append((pred, F.lit(float(b))))
+    for t, n, b in atoms["fuzzies"]:
+        legs.append((fuzzy_term_pred(t, n), F.lit(float(b))))
+    if legs:
+        combined = legs[0][0]
+        for pred, _ in legs[1:]:
+            combined = combined | pred
+        weight = None
+        for pred, wcol in legs:
+            part = F.when(pred, wcol).otherwise(F.lit(0.0))
+            weight = part if weight is None else weight + part
+        exp_stats = (
+            spark.read.parquet(paths.termstats).where(combined)
+            .select("term", F.col("df").cast("double").alias("__df"),
+                    weight.alias("__w"))
+        )
+        post = posting_tfs_df(spark, paths, term_pred=combined)
         idf_col = F.log(
             1.0 + (F.lit(float(n_docs)) - F.col("__df") + 0.5)
-            / (F.col("__df") + 0.5)) * F.lit(float(boost))
+            / (F.col("__df") + 0.5)) * F.col("__w")
         contribs.append(
             post.join(F.broadcast(exp_stats), "term").select(
                 "doc_id", bm25(F.col("tf"), idf_col).alias("contrib")))
