@@ -834,6 +834,16 @@ def dsl_to_ast(d: dict):
             slop = int(v.get("slop", 0))
             v = v["query"]
         return Phrase(str(v), slop=slop)
+    if kind == "match":
+        # analyzed OR-of-terms on the text field (ES default operator OR)
+        (f, v), = body.items()
+        if isinstance(v, dict):
+            v = v["query"]
+        toks = tokenize_py(str(v))
+        if not toks:
+            return MatchAll()
+        return Term(toks[0]) if len(toks) == 1 else Or(
+            [Term(t) for t in toks])
     if kind == "term":
         (f, v), = body.items()
         if isinstance(v, dict):

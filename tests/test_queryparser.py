@@ -174,6 +174,9 @@ def test_dsl_subset():
         "source", "src1*")
     assert dsl_to_ast({"match_phrase": {"text": {"query": "a b", "slop": 3}}}
                       ) == Phrase("a b", slop=3)
+    assert dsl_to_ast({"match": {"text": "key order"}}) == Or(
+        [Term("key"), Term("order")])
+    assert dsl_to_ast({"match": {"text": {"query": "key"}}}) == Term("key")
     with pytest.raises(ValueError):
         dsl_to_ast({"more_like_this": {"fields": ["text"]}})
 

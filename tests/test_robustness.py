@@ -22,6 +22,11 @@ MALFORMED = [
     "n:[1 TO 2",    # unterminated range
     "n:>",          # comparator without value
     'a AND "unterminated phrase',
+    "^2",           # boost with no preceding atom
+    "a^",           # boost without a number
+    "~",            # fuzz with no preceding atom
+    "lang:(",       # unterminated field group
+    "lang:(n_chars:5)",  # field atom inside a field group
 ]
 
 
@@ -37,6 +42,11 @@ DEGENERATE_OK = [
     "-a",                # bare negation
     "f.keyword:v",       # keyword suffix
     "n:[* TO *]",        # fully open range = exists
+    "zz*^2",             # boosted wildcard that matches nothing
+    "a~ b",              # fuzzy then adjacent term
+    '""~2',              # sloppy empty phrase — matches nothing
+    "*?*",               # wildcard degenerate (not bare * = match_all)
+    "f.keyword:(v w)",   # field group with keyword suffix
 ]
 
 
