@@ -6,15 +6,19 @@ a posting-list lookup in Lucene (ref F1/F2, /root/reference/app/helpers/
 es.py:238-250, :664-710). Round 1 compiled those clauses to ``rlike`` over
 the full text column: a per-row Java regex over 100 TB. Here the plan is:
 
-  segments.parquet scan (``term IN (...)`` pushed to parquet row groups)
-    → varbyte-decode the ≤|q| matched posting lists (Arrow batch, tiny)
-    → groupBy doc_id → collect_set(term)   (one shuffle, posting-sized)
-    → left join docs on doc_id            (doc-keyed equi-join)
-    → predicate = array_contains(matched_terms, t) per Term atom
+  ONE segments.parquet scan (the combined dictionary predicate — term IN
+  (...) ∪ wildcard/fuzzy patterns — pushed to parquet row groups)
+    → varbyte-decode the matched posting lists (Arrow batch, tiny)
+    → groupBy doc_id → both marker arrays    (one shuffle, posting-sized)
+    → left join docs on doc_id               (doc-keyed equi-join)
+    → predicate = array_contains(markers, atom key) per text atom
 
-Phrases and multi-token terms keep the regex path (positions aren't indexed);
-every other atom (field equality, ranges, exists) stays a plain column
-predicate that Catalyst pushes to the docs scan.
+Multi-token (incl. sloppy) phrases resolve by positional-window
+intersection on a positional index (attach_matched_phrases); only a
+non-positional index falls back to regex for phrases. Every other atom
+(field equality, ranges, exists) stays a plain column predicate that
+Catalyst pushes to the docs scan — the compiled plan never regex-scans
+the corpus text.
 """
 
 from __future__ import annotations
@@ -139,32 +143,6 @@ def posting_docs(spark: SparkSession, paths: IndexPaths,
     return segs.mapInPandas(decode, schema="term string, doc_id long")
 
 
-def attach_matched_terms(
-    spark: SparkSession,
-    paths: IndexPaths,
-    docs: DataFrame,
-    doc_col: str,
-    terms: list[str],
-) -> DataFrame:
-    """docs + an array column of which query terms each doc contains
-    (empty array when none — never null, so NOT composes correctly)."""
-    if not terms:
-        return docs.withColumn(MATCH_COL, F.array().cast("array<string>"))
-    matched = (
-        posting_docs(spark, paths, terms)
-        .groupBy("doc_id")
-        .agg(F.collect_set("term").alias(MATCH_COL))
-        .withColumnRenamed("doc_id", "__pd_doc_id")
-    )
-    joined = docs.join(
-        matched, docs[doc_col] == F.col("__pd_doc_id"), "left"
-    ).drop("__pd_doc_id")
-    return joined.withColumn(
-        MATCH_COL,
-        F.coalesce(F.col(MATCH_COL), F.array().cast("array<string>")),
-    )
-
-
 PHRASE_COL = "_matched_phrases"
 PATTERN_COL = "_matched_patterns"
 
@@ -210,42 +188,55 @@ def attach_matched_phrases(
     )
 
 
-def attach_matched_patterns(
+def attach_matched_atoms(
     spark: SparkSession,
     paths: IndexPaths,
     docs: DataFrame,
     doc_col: str,
+    terms: list[str],
     patterns: list[tuple[str, Column | None]],
 ) -> DataFrame:
-    """docs + an array column of which wildcard/fuzzy atom keys each doc
-    matches: each atom's dictionary predicate drives a distributed term scan
-    over the segments (the expansion never materializes on the driver), the
-    matched posting lists union into (doc_id, key) pairs."""
-    if not any(pred is not None for _, pred in patterns):
-        return docs.withColumn(PATTERN_COL, F.array().cast("array<string>"))
-    parts = []
-    for key, pred in patterns:
-        if pred is None:
-            continue
-        parts.append(
-            posting_docs(spark, paths, term_pred=pred)
-            .select("doc_id").distinct()
-            .select("doc_id", F.lit(key).alias("__pat")))
-    allhits = parts[0]
-    for x in parts[1:]:
-        allhits = allhits.unionByName(x)
+    """docs + MATCH_COL (which query tokens each doc contains) + PATTERN_COL
+    (which wildcard/fuzzy atom keys it matches) — computed in ONE segment
+    scan and ONE doc-keyed join: the combined dictionary predicate rides the
+    parquet scan, each decoded posting row is re-tested against the
+    per-atom predicates as plain column expressions (the expansion never
+    materializes on the driver), and a single groupBy aggregates both
+    marker arrays (empty arrays when none — never null, so NOT composes)."""
+    preds = [(k, p) for k, p in patterns if p is not None]
+    empty = F.array().cast("array<string>")
+    if not terms and not preds:
+        return (docs.withColumn(MATCH_COL, empty)
+                    .withColumn(PATTERN_COL, empty))
+    combined = None
+    if terms:
+        combined = F.col("term").isin(terms)
+    for _, p in preds:
+        combined = p if combined is None else combined | p
+    decoded = posting_docs(spark, paths, term_pred=combined)
+    term_hit = (F.when(F.col("term").isin(terms), F.col("term"))
+                if terms else F.lit(None).cast("string"))
+    if preds:
+        keys_arr = F.filter(
+            F.array(*[F.when(p, F.lit(k)) for k, p in preds]),
+            lambda v: v.isNotNull())
+    else:
+        keys_arr = empty
     matched = (
-        allhits.groupBy("doc_id")
-        .agg(F.collect_set("__pat").alias(PATTERN_COL))
-        .withColumnRenamed("doc_id", "__pt_doc_id")
+        decoded.select("doc_id", term_hit.alias("__tm"),
+                       keys_arr.alias("__keys"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("__tm").alias(MATCH_COL),  # collect_set skips null
+             F.array_distinct(F.flatten(F.collect_list("__keys")))
+             .alias(PATTERN_COL))
+        .withColumnRenamed("doc_id", "__pd_doc_id")
     )
     joined = docs.join(
-        matched, docs[doc_col] == F.col("__pt_doc_id"), "left"
-    ).drop("__pt_doc_id")
-    return joined.withColumn(
-        PATTERN_COL,
-        F.coalesce(F.col(PATTERN_COL), F.array().cast("array<string>")),
-    )
+        matched, docs[doc_col] == F.col("__pd_doc_id"), "left"
+    ).drop("__pd_doc_id")
+    return (joined
+            .withColumn(MATCH_COL, F.coalesce(F.col(MATCH_COL), empty))
+            .withColumn(PATTERN_COL, F.coalesce(F.col(PATTERN_COL), empty)))
 
 
 def indexed_predicate(node, text_col: str, columns: list[str],
@@ -335,6 +326,15 @@ def indexed_filter(
     patterns = pattern_atoms(node)
     pat_preds = dict(patterns)
     req = required_atoms_union(node)
+    if req is not None and set(req) == {("term", t) for t in terms} | {
+            ("pat", k) for k, _ in patterns}:
+        # the guarantee IS the full positive atom set: the pruning
+        # semi-join would read the same posting lists the marker join
+        # reads and pass docs the predicate filters anyway — one pass
+        # over the docs table beats two. (A pruning semi-join pays off
+        # when the guarantee is a selective SUBSET, e.g. one rare
+        # conjunct of an AND.)
+        req = None
     if req:
         req_terms = [v for kind, v in req if kind == "term"]
         parts = []
@@ -357,8 +357,8 @@ def indexed_filter(
         else:
             # every guaranteed atom matches nothing → no doc can match
             docs = docs.where(F.lit(False))
-    marked = attach_matched_terms(spark, paths, docs, doc_col, terms)
-    marked = attach_matched_patterns(spark, paths, marked, doc_col, patterns)
+    marked = attach_matched_atoms(spark, paths, docs, doc_col, terms,
+                                  patterns)
     with_phrases = bool(load_stats(paths).get("positions"))
     if with_phrases:
         marked = attach_matched_phrases(
