@@ -256,6 +256,15 @@ def main() -> None:
                 spark, bpos, '"order key"~2', 10).collect(), reps=LAT_REPS)
             btimed("qs_wildcard", lambda: querystring_topk(
                 spark, bpos, "cust* window", 10).collect(), reps=LAT_REPS)
+            # filter context at scale: the reference's primary query shape
+            # (es_query_filter) over the 600k corpus, fully index-backed
+            from ee_outliers_spark.index.filter import indexed_filter
+            from ee_outliers_spark.queryparser import parse_query_string
+            fq = parse_query_string(
+                'window AND (cust* OR batch) AND NOT "batch batch"')
+            btimed("qs_filter", lambda: indexed_filter(
+                spark, bpos, big, "doc_id", "text", fq,
+                ["doc_id", "text"]).count(), reps=LAT_REPS)
         finally:
             shutil.rmtree(big_pos_dir, ignore_errors=True)
         big.unpersist()

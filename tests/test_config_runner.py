@@ -310,3 +310,35 @@ def test_cli_main_interactive(spark, sf_dir, tmp_path):
         "--results", str(tmp_path / "store"),
     ], spark=spark)
     assert summary2["total_outliers_detected"] == 0
+
+
+def test_ini_runner_multiterm_forms(spark, documents, tmp_path):
+    """A use-case file exercising the round-3 grammar — wildcard, fuzzy,
+    sloppy phrase, boost, field group — runs through the indexed product
+    path and matches the regex/HOF compilation of the same AST."""
+    import textwrap as _tw
+
+    from ee_outliers_spark.index.build import build_segments
+    from ee_outliers_spark.queryparser import (
+        parse_query_string, to_spark_predicate,
+    )
+
+    idx = build_segments(spark, documents, "doc_id", "text",
+                         str(tmp_path / "idx"), num_segments=4,
+                         positions=True)
+    p = tmp_path / "cases.conf"
+    p.write_text(_tw.dedent("""
+        [simplequery_multiterm]
+        es_query_filter=cust*^2 AND "order key"~2 AND lang:(en OR de) AND NOT batc?
+        outlier_summary=multiterm doc {doc_id}
+        run_model=1
+    """))
+    spec, = load_use_cases(str(p))
+    out = run_analyzer(documents, spec, text_col="text", key_col="doc_id",
+                       index=idx)
+    got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    node = parse_query_string(spec.es_query_filter)
+    want = sorted(r["doc_id"] for r in documents.where(
+        to_spark_predicate(node, "text", documents.columns)
+    ).select("doc_id").collect())
+    assert got == want
