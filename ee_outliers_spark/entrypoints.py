@@ -1237,6 +1237,48 @@ FROM reach GROUP BY id ORDER BY id
 """
 
 
+def _dedup_keep_sql() -> str:
+    """Survivors of cluster dedup: every doc except non-canonical cluster
+    members (id != min reachable id)."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM mh_pairs
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM mh_pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+losers AS (
+  SELECT id FROM reach GROUP BY id HAVING min(r) <> id
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM losers)
+ORDER BY doc_id
+"""
+
+
+@register("dedup_keep_canonical", _dedup_keep_sql())
+def dedup_keep_canonical_q(spark, sf_dir):
+    """The complete dedup pipeline output: pairs → clusters → keep one
+    canonical doc per duplicate group (anti-join on the non-canonical ids,
+    a dup-node-sized broadcast — never corpus-sized)."""
+    from .operators.dedup import (
+        drop_duplicates_by_clusters, duplicate_clusters, minhash_lsh_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text",
+                              k=3, num_perm=64, bands=16, threshold=0.5)
+    clusters = duplicate_clusters(pairs)
+    return (drop_duplicates_by_clusters(docs, "doc_id", clusters)
+            .select("doc_id").orderBy("doc_id"))
+
+
 @register("dedup_clusters", _dedup_clusters_sql())
 def dedup_clusters_q(spark, sf_dir):
     """Pairs → duplicate groups: the canonicalization step after any pair

@@ -497,3 +497,18 @@ def duplicate_clusters(
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("cid").alias("cluster_id"))
+
+
+def drop_duplicates_by_clusters(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+) -> DataFrame:
+    """The end of the dedup pipeline: keep one canonical row per duplicate
+    cluster (the min-id member, i.e. rows whose id equals their cluster_id)
+    plus every row that belongs to no cluster. One broadcast-sized anti-join
+    against the non-canonical ids — clusters are pair-graph nodes only, so
+    the join side is |dup nodes|, never corpus-sized."""
+    losers = (clusters.where(F.col("id") != F.col("cluster_id"))
+              .select(F.col("id").alias("__loser")))
+    return df.join(losers, df[id_col] == F.col("__loser"), "left_anti")
