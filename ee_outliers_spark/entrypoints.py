@@ -1460,6 +1460,85 @@ FROM s ORDER BY cosine DESC, vec_id ASC LIMIT {k}
 """
 
 
+_IVF_CELLS = 8
+_IVF_NPROBE = 2
+
+
+def _ivf_sql(k: int) -> str:
+    """IVF twin in SQL: centroids = the 8 lowest-id vectors; assignment =
+    argmin(|c|² − 2 v·c) with (dist, cell) tie-break; probe the 2 nearest
+    cells to the query; exact cosine rerank over the probed cells only."""
+    qlit = "[" + ", ".join(str(x) for x in ANN_QUERY) + "]"
+    return f"""
+WITH q AS (SELECT {qlit}::DOUBLE[] AS qv),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {_IVF_CELLS})
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+scored AS (
+  SELECT vec_id, cell,
+         list_sum(list_transform(cv, x -> x * x))
+           - 2 * list_dot_product(vd, cv) AS dist
+  FROM v CROSS JOIN cents
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cell) AS rn
+    FROM scored) WHERE rn = 1
+),
+probe AS (
+  SELECT cell FROM (
+    SELECT cell,
+           list_sum(list_transform(cv, x -> x * x))
+             - 2 * list_dot_product(qv, cv) AS dist
+    FROM cents CROSS JOIN q)
+  ORDER BY dist, cell LIMIT {_IVF_NPROBE}
+),
+cand AS (
+  SELECT v.vec_id, vd FROM v JOIN assign USING (vec_id)
+  WHERE assign.cell IN (SELECT cell FROM probe)
+),
+s AS (
+  SELECT vec_id,
+         list_sum(list_zip(vd, qv).apply(p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(vd, x -> x * x)))
+            * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+  FROM cand CROSS JOIN q
+)
+SELECT vec_id,
+       CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+FROM s ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""
+
+
+@register("ann_ivf_topk", _ivf_sql(10))
+def ann_ivf_topk_q(spark, sf_dir):
+    """IVF ANN: the inverted file is cell-PARTITIONED parquet, so probing
+    the 2 nearest cells is partition pruning — only nprobe/K of the index
+    is read, then the exact rerank runs on candidates only. The coarse
+    quantizer is the deterministic seed stand-in (lowest-id vectors) so
+    the oracle recomputes the whole pipeline; swap KMeans centroids in
+    production, nothing else changes."""
+    from .index.cache import ivf_index
+    from .operators.similarity import ivf_topk_indexed
+
+    path, cents = ivf_index(spark, sf_dir, n_cells=_IVF_CELLS)
+    top = ivf_topk_indexed(spark, path, cents, ANN_QUERY, 10, _IVF_NPROBE)
+    w = Window.orderBy(F.desc("cosine"), F.asc("id"))
+    return top.select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 @register("ann_cosine_topk", _ann_sql(10))
 def ann_cosine_topk_q(spark, sf_dir):
     from .operators.similarity import cosine_topk

@@ -129,3 +129,33 @@ def corpus_index(
     )
     _CACHE[key] = paths
     return paths
+
+
+def ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+) -> tuple[str, list[list[float]]]:
+    """IVF inverted file (cell-partitioned parquet) for a corpus, built once
+    per (corpus fingerprint, params); returns (index path, centroids)."""
+    from ..operators.similarity import build_ivf_index, seed_centroids
+
+    table_path = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    key = (f"ivf::{table_path}::{_corpus_fingerprint(table_path)}"
+           f"::{id_col}::{vec_col}::c{n_cells}")
+    df = spark.read.parquet(table_path)
+    cents = seed_centroids(df, id_col, vec_col, n_cells)
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit, cents
+    out = _slot(key)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        tmp = f"{out}.build{os.getpid()}"
+        build_ivf_index(df, id_col, vec_col, tmp, cents)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        _claim(tmp, out)
+    _CACHE[key] = out
+    return out, cents

@@ -222,3 +222,92 @@ def lsh_topk_indexed(
         cands, df[id_col].cast("long") == F.col("__cand_id"), "leftsemi"
     )
     return cosine_topk(pruned, id_col, vec_col, query, k)
+
+
+# --- IVF (inverted-file) ANN ---------------------------------------------------
+#
+# The second classic ANN family next to LSH: a coarse quantizer assigns every
+# vector to its nearest of K centroid cells; the index is the vector table
+# PARTITIONED BY cell, so a query reads only the nprobe nearest cells —
+# partition pruning does the candidate cut, then the exact rerank runs on
+# candidates only. The coarse quantizer here is pluggable; the default
+# ``seed_centroids`` (the K lowest-id corpus vectors) is a deterministic
+# stand-in that keeps the WHOLE pipeline — assignment argmin, probe order,
+# candidate set, rerank — exactly recomputable by the DuckDB oracle. A
+# production deployment would swap in KMeans-trained centroids; nothing else
+# changes (assignment, layout and probing are centroid-agnostic).
+
+
+def seed_centroids(df: DataFrame, id_col: str, vec_col: str,
+                   k: int) -> list[list[float]]:
+    """The K lowest-id vectors as deterministic coarse-quantizer centroids."""
+    rows = (df.orderBy(F.col(id_col).cast("long")).limit(k)
+            .select(vec_col).collect())
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def _nearest_cell(vecs, cents) -> "np.ndarray":
+    """Vectorized argmin_c ||v - c||² via |c|² − 2 v·c (|v|² is constant per
+    row); ties break to the lowest cell index (np.argmin rule — the oracle
+    orders by (dist, cell))."""
+    import numpy as np
+
+    c = np.asarray(cents, dtype=np.float64)          # (K, d)
+    v = np.asarray(vecs, dtype=np.float64)           # (n, d)
+    scores = (c * c).sum(axis=1)[None, :] - 2.0 * (v @ c.T)  # (n, K)
+    return np.argmin(scores, axis=1)
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
+               centroids: list[list[float]]) -> DataFrame:
+    """df + an int ``cell`` column (nearest centroid), via an Arrow-batched
+    pandas UDF (numpy matmul per batch — no per-element HOF lambdas)."""
+    import pandas as pd
+
+    cents = [list(map(float, c)) for c in centroids]
+
+    @F.pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if vs.empty:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(vs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        return pd.Series(_nearest_cell(mat, cents).astype("int32"))
+
+    return df.withColumn("cell", assign(F.col(vec_col)))
+
+
+def build_ivf_index(df: DataFrame, id_col: str, vec_col: str,
+                    out_path: str, centroids: list[list[float]]) -> None:
+    """Persist the inverted file: (cell, id, vec) parquet PARTITIONED BY
+    cell — a probe query's cell filter becomes partition pruning (only
+    nprobe/K of the index is ever read)."""
+    (ivf_assign(df, id_col, vec_col, centroids)
+     .select("cell", F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+     .write.mode("overwrite").partitionBy("cell").parquet(out_path))
+
+
+def ivf_topk_indexed(spark, index_path: str, centroids: list[list[float]],
+                     query: list[float], k: int, nprobe: int) -> DataFrame:
+    """Probe the ``nprobe`` cells nearest the query (driver-side argsort
+    over K centroids — K is tiny), scan ONLY those partitions, exact cosine
+    rerank → (id, cosine) top-k."""
+    import numpy as np
+
+    order = _probe_cells(centroids, query)
+    cells = [int(c) for c in order[:nprobe]]
+    cand = spark.read.parquet(index_path).where(F.col("cell").isin(cells))
+    return cosine_topk(cand.select(F.col("id"), F.col("vec")),
+                       "id", "vec", query, k)
+
+
+def _probe_cells(centroids: list[list[float]], query: list[float]):
+    """Cells by ascending |c|² − 2 q·c, ties by cell index (same rule as
+    assignment — and as the oracle's ORDER BY (dist, cell))."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    d = (c * c).sum(axis=1) - 2.0 * (c @ q)
+    return np.lexsort((np.arange(len(c)), d))

@@ -352,3 +352,38 @@ def test_hash_split_deterministic_and_shuffle_free(spark, documents):
     n_de_all = documents.where("lang = 'de'").count()
     n_de = sum(1 for r in rows if r["lang"] == "de")
     assert n_de == n_de_all  # fraction 1.0 keeps every row of the stratum
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The IVF inverted file is cell-partitioned parquet: a probe query's
+    plan carries a PartitionFilters entry on cell (only nprobe/K of the
+    index is read), and the probed top-k equals brute force restricted to
+    the probed cells."""
+    import numpy as np
+
+    from ee_outliers_spark.operators.similarity import (
+        _probe_cells, build_ivf_index, cosine_topk, ivf_assign,
+        ivf_topk_indexed, seed_centroids,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(int(i), [float(x) for x in rng.randn(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = seed_centroids(df, "vec_id", "embedding", 4)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(df, "vec_id", "embedding", path, cents)
+
+    q = [float(x) for x in rng.randn(16)]
+    top = ivf_topk_indexed(spark, path, cents, q, 5, nprobe=2)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    cells = {int(c) for c in _probe_cells(cents, q)[:2]}
+    assigned = ivf_assign(df, "vec_id", "embedding", cents)
+    eligible = assigned.where(F.col("cell").isin([int(c) for c in cells]))
+    n_eligible = eligible.count()
+    assert 0 < n_eligible < 300  # genuinely pruned
+    want = [(int(r["vec_id"]), float(r["cosine"])) for r in cosine_topk(
+        eligible, "vec_id", "embedding", q, 5).collect()]
+    got = [(int(r["id"]), float(r["cosine"])) for r in top.collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
