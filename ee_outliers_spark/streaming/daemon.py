@@ -105,3 +105,111 @@ def stream_index_updates(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_window_counts(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_len: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> None:
+    """Watermarked tumbling-window counts over a growing parquet directory —
+    the Structured Streaming twin of the batch terms-over-time aggregation
+    (the reference's daemon re-aggregates the full rolling window every
+    tick; this keeps windowed state in the checkpoint and touches only new
+    files per trigger).
+
+    Semantics under ``withWatermark``: a window [s, s+len) is finalized and
+    APPENDED to the parquet sink exactly once, when the watermark
+    (max event time − ``watermark``) passes s+len; events later than the
+    watermark are dropped (never mutate an emitted window), while
+    in-watermark stragglers still update their open window. State and the
+    watermark survive restarts via the checkpoint, so repeated
+    Trigger.AvailableNow runs over an appended directory behave like one
+    continuous stream."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_len).alias("w"),
+                 F.col(key_col))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), key_col, "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streaming_first_seen(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    agg_col: str = "aggregator",
+    target_col: str = "target",
+    ts_col: str = "ts",
+) -> None:
+    """Streaming first-occurrence detection — the reference's
+    sudden_appearance (A4/W1, app/analyzers/sudden_appearance.py) as a TRUE
+    stateful streaming operator instead of a per-tick re-aggregation: the
+    set of targets already seen per aggregator lives in Spark's keyed state
+    store (``applyInPandasWithState``), survives restarts via the
+    checkpoint, and each micro-batch emits exactly the (aggregator, target)
+    pairs appearing for the first time ever, with their first event time.
+    State is O(distinct targets) per aggregator key and partitions by the
+    group key like any keyed stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def first_seen(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        rows: dict[str, object] = {}
+        for pdf in pdfs:
+            for tgt, ts in zip(pdf[target_col], pdf[ts_col]):
+                if tgt in seen:
+                    continue
+                if tgt not in rows or ts < rows[tgt]:
+                    rows[tgt] = ts
+        if rows:
+            seen.update(rows)
+            state.update((sorted(seen),))
+            yield pd.DataFrame({
+                agg_col: [key[0]] * len(rows),
+                target_col: list(rows.keys()),
+                "first_ts": list(rows.values()),
+            })
+
+    out = (
+        stream.groupBy(agg_col).applyInPandasWithState(
+            first_seen,
+            outputStructType=(f"{agg_col} string, {target_col} string, "
+                              f"first_ts timestamp"),
+            stateStructType="seen array<string>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -117,3 +117,88 @@ def test_daemon_tick_sees_streamed_appends_through_index(
     # appended, not rebuilt: the tick-1 manifest lines are a strict prefix
     manifest_lines_t2 = sum(1 for _ in open(paths.manifest))
     assert manifest_lines_t2 > manifest_lines_t1
+
+
+def test_streaming_window_counts_watermark_and_late_data(
+        spark, tmp_path_factory):
+    """Watermarked windowed aggregation across restarts: finalized windows
+    append exactly once; an event later than the watermark is DROPPED
+    (emitted windows never mutate) while an in-watermark straggler still
+    counts into its open window; state survives the restart through the
+    checkpoint."""
+    import datetime as dt
+
+    from ee_outliers_spark.streaming.daemon import streaming_window_counts
+
+    root = tmp_path_factory.mktemp("wm")
+    in_dir, out_dir, ckpt = (str(root / d) for d in ("in", "out", "ck"))
+    os.makedirs(in_dir)
+    schema = "ts timestamp, event_type string"
+    T = dt.datetime(2024, 1, 1)
+
+    def h(hh, mm):  # event at hh:mm
+        return (T + dt.timedelta(hours=hh, minutes=mm), "click")
+
+    # batch 1: fills 10:00 and 11:00 windows; 12:10 advances the
+    # watermark to 11:40 → only the 10:00-11:00 window finalizes
+    spark.createDataFrame(
+        [h(10, 5), h(10, 20), h(11, 15), h(12, 10)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    streaming_window_counts(spark, in_dir, out_dir, ckpt, schema,
+                            watermark="30 minutes")
+    first = {(r["window_start"].hour, r["n"])
+             for r in spark.read.parquet(out_dir).collect()}
+    assert first == {(10, 2)}
+
+    # batch 2 (restart, same checkpoint): 10:30 is behind the watermark →
+    # dropped; 11:45 is an in-watermark straggler → counts into 11:00;
+    # 14:00 advances the watermark past both open windows
+    spark.createDataFrame(
+        [h(10, 30), h(11, 45), h(14, 0)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    streaming_window_counts(spark, in_dir, out_dir, ckpt, schema,
+                            watermark="30 minutes")
+    rows = {(r["window_start"].hour, r["n"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert rows == {(10, 2), (11, 2), (12, 1)}
+
+
+def test_streaming_first_seen_stateful_across_restarts(
+        spark, tmp_path_factory):
+    """applyInPandasWithState sudden-appearance: batch 1 flags every
+    (aggregator, target) once with its earliest ts; after a restart the
+    keyed state store still knows the seen set, so batch 2 flags ONLY the
+    genuinely new pairs — the same target under a different aggregator is
+    its own first appearance."""
+    import datetime as dt
+
+    from ee_outliers_spark.streaming.daemon import streaming_first_seen
+
+    root = tmp_path_factory.mktemp("fs")
+    in_dir, out_dir, ckpt = (str(root / d) for d in ("in", "out", "ck"))
+    os.makedirs(in_dir)
+    schema = "ts timestamp, aggregator string, target string"
+    T = dt.datetime(2024, 1, 1)
+
+    def e(mins, agg, tgt):
+        return (T + dt.timedelta(minutes=mins), agg, tgt)
+
+    spark.createDataFrame(
+        [e(5, "hostA", "proc1"), e(3, "hostA", "proc1"),
+         e(7, "hostA", "proc2"), e(9, "hostB", "proc1")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    streaming_first_seen(spark, in_dir, out_dir, ckpt, schema)
+    got = {(r["aggregator"], r["target"], r["first_ts"].minute)
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {("hostA", "proc1", 3), ("hostA", "proc2", 7),
+                   ("hostB", "proc1", 9)}
+
+    # restart: old pairs are remembered, only the new ones emit
+    spark.createDataFrame(
+        [e(20, "hostA", "proc1"), e(22, "hostA", "proc3"),
+         e(25, "hostB", "proc2")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    streaming_first_seen(spark, in_dir, out_dir, ckpt, schema)
+    got2 = {(r["aggregator"], r["target"], r["first_ts"].minute)
+            for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == got | {("hostA", "proc3", 22), ("hostB", "proc2", 25)}
