@@ -293,8 +293,6 @@ def ivf_topk_indexed(spark, index_path: str, centroids: list[list[float]],
     """Probe the ``nprobe`` cells nearest the query (driver-side argsort
     over K centroids — K is tiny), scan ONLY those partitions, exact cosine
     rerank → (id, cosine) top-k."""
-    import numpy as np
-
     order = _probe_cells(centroids, query)
     cells = [int(c) for c in order[:nprobe]]
     cand = spark.read.parquet(index_path).where(F.col("cell").isin(cells))
