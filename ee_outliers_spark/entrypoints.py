@@ -403,6 +403,43 @@ def count_matches(spark, sf_dir):
     ).agg(F.count("*").cast("long").alias("n_matches"))
 
 
+# --- postings-only filter/count (ES filter context never fetches _source:
+# a boolean with no field clauses is decidable from the inverted index
+# alone — ref S2 es.py:143-158 count queries; filter.py matching_ids) -------
+
+_TEXTONLY_QS = 'window AND (cust* OR batch) AND NOT "batch batch"'
+
+
+@register("querystring_filter_textonly", _qs_sql(_TEXTONLY_QS))
+def querystring_filter_textonly(spark, sf_dir):
+    # routes through indexed_filter's matching_ids fast path (text-only
+    # boolean): postings→ids, then one semi-join that reads only doc_id
+    docs = load(spark, sf_dir, "documents")
+    paths = corpus_index(spark, sf_dir)
+    node = parse_query_string(_TEXTONLY_QS)
+    return (
+        indexed_filter(spark, paths, docs, "doc_id", "text", node, DOC_COLS)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "count_matches_textonly",
+    f"SELECT CAST(count(*) AS BIGINT) AS n_matches FROM documents "
+    f"WHERE {to_duckdb_sql(parse_query_string(_TEXTONLY_QS), 'text', DOC_COLS)}",
+)
+def count_matches_textonly(spark, sf_dir):
+    # the count never touches the documents table at all — ids straight off
+    # the posting lists (the ES _count code path)
+    from .index.filter import matching_ids
+
+    paths = corpus_index(spark, sf_dir)
+    node = parse_query_string(_TEXTONLY_QS)
+    return matching_ids(spark, paths, node).agg(
+        F.count("*").cast("long").alias("n_matches"))
+
+
 # --- wildcard / fuzzy / sloppy-phrase query_string forms ---------------------
 # The reference ships es_query_filter strings to ES verbatim
 # (app/helpers/es.py:238-250), so every Lucene query_string form a user can

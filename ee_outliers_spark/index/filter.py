@@ -147,6 +147,34 @@ PHRASE_COL = "_matched_phrases"
 PATTERN_COL = "_matched_patterns"
 
 
+def _phrase_markers(
+    spark: SparkSession,
+    paths: IndexPaths,
+    phrases: list[tuple[str, str, int]],
+) -> DataFrame | None:
+    """(doc_id, PHRASE_COL) for every doc containing ≥1 of the phrases,
+    resolved by position-list intersection in the positional index. None when
+    no phrase can match anything (empty list, or all phrases contain a
+    zero-df token)."""
+    from .query import _phrase_hits
+
+    parts = []
+    for key, text, slop in phrases:
+        hits = _phrase_hits(spark, paths, text, slop)
+        if hits is not None:
+            parts.append(hits.select(
+                "doc_id", F.lit(key).alias("__phrase")))
+    if not parts:
+        return None
+    allhits = parts[0]
+    for x in parts[1:]:
+        allhits = allhits.unionByName(x)
+    return (
+        allhits.groupBy("doc_id")
+        .agg(F.collect_set("__phrase").alias(PHRASE_COL))
+    )
+
+
 def attach_matched_phrases(
     spark: SparkSession,
     paths: IndexPaths,
@@ -159,26 +187,10 @@ def attach_matched_phrases(
     regex over the text column); sloppy phrases (`"a b"~2`) intersect under
     the slop window. Phrases with a zero-df token simply never appear in
     the array (match nothing)."""
-    from .query import _phrase_hits
-
-    if not phrases:
+    matched = _phrase_markers(spark, paths, phrases)
+    if matched is None:
         return docs.withColumn(PHRASE_COL, F.array().cast("array<string>"))
-    parts = []
-    for key, text, slop in phrases:
-        hits = _phrase_hits(spark, paths, text, slop)
-        if hits is not None:
-            parts.append(hits.select(
-                "doc_id", F.lit(key).alias("__phrase")))
-    if not parts:
-        return docs.withColumn(PHRASE_COL, F.array().cast("array<string>"))
-    allhits = parts[0]
-    for x in parts[1:]:
-        allhits = allhits.unionByName(x)
-    matched = (
-        allhits.groupBy("doc_id")
-        .agg(F.collect_set("__phrase").alias(PHRASE_COL))
-        .withColumnRenamed("doc_id", "__ph_doc_id")
-    )
+    matched = matched.withColumnRenamed("doc_id", "__ph_doc_id")
     joined = docs.join(
         matched, docs[doc_col] == F.col("__ph_doc_id"), "left"
     ).drop("__ph_doc_id")
@@ -188,26 +200,22 @@ def attach_matched_phrases(
     )
 
 
-def attach_matched_atoms(
+def _atom_markers(
     spark: SparkSession,
     paths: IndexPaths,
-    docs: DataFrame,
-    doc_col: str,
     terms: list[str],
     patterns: list[tuple[str, Column | None]],
-) -> DataFrame:
-    """docs + MATCH_COL (which query tokens each doc contains) + PATTERN_COL
-    (which wildcard/fuzzy atom keys it matches) — computed in ONE segment
-    scan and ONE doc-keyed join: the combined dictionary predicate rides the
-    parquet scan, each decoded posting row is re-tested against the
-    per-atom predicates as plain column expressions (the expansion never
-    materializes on the driver), and a single groupBy aggregates both
-    marker arrays (empty arrays when none — never null, so NOT composes)."""
+) -> DataFrame | None:
+    """(doc_id, MATCH_COL, PATTERN_COL) for every doc matching ≥1 term or
+    pattern atom — computed in ONE segment scan: the combined dictionary
+    predicate rides the parquet scan, each decoded posting row is re-tested
+    against the per-atom predicates as plain column expressions (the
+    expansion never materializes on the driver), and a single groupBy
+    aggregates both marker arrays. None when there are no resolvable atoms."""
     preds = [(k, p) for k, p in patterns if p is not None]
     empty = F.array().cast("array<string>")
     if not terms and not preds:
-        return (docs.withColumn(MATCH_COL, empty)
-                    .withColumn(PATTERN_COL, empty))
+        return None
     combined = None
     if terms:
         combined = F.col("term").isin(terms)
@@ -222,15 +230,33 @@ def attach_matched_atoms(
             lambda v: v.isNotNull())
     else:
         keys_arr = empty
-    matched = (
+    return (
         decoded.select("doc_id", term_hit.alias("__tm"),
                        keys_arr.alias("__keys"))
         .groupBy("doc_id")
         .agg(F.collect_set("__tm").alias(MATCH_COL),  # collect_set skips null
              F.array_distinct(F.flatten(F.collect_list("__keys")))
              .alias(PATTERN_COL))
-        .withColumnRenamed("doc_id", "__pd_doc_id")
     )
+
+
+def attach_matched_atoms(
+    spark: SparkSession,
+    paths: IndexPaths,
+    docs: DataFrame,
+    doc_col: str,
+    terms: list[str],
+    patterns: list[tuple[str, Column | None]],
+) -> DataFrame:
+    """docs + MATCH_COL (which query tokens each doc contains) + PATTERN_COL
+    (which wildcard/fuzzy atom keys it matches) — one segment scan + ONE
+    doc-keyed join (empty arrays when none — never null, so NOT composes)."""
+    empty = F.array().cast("array<string>")
+    matched = _atom_markers(spark, paths, terms, patterns)
+    if matched is None:
+        return (docs.withColumn(MATCH_COL, empty)
+                    .withColumn(PATTERN_COL, empty))
+    matched = matched.withColumnRenamed("doc_id", "__pd_doc_id")
     joined = docs.join(
         matched, docs[doc_col] == F.col("__pd_doc_id"), "left"
     ).drop("__pd_doc_id")
@@ -302,6 +328,77 @@ def required_atoms_union(node) -> list[tuple[str, str]] | None:
     return None
 
 
+def text_only(node, positional: bool) -> bool:
+    """True when the boolean is decidable purely from the index — every leaf
+    is a text atom (term / phrase / wildcard / fuzzy) or MatchAll, with
+    multi-token phrases requiring a positional index. Field / range / exists
+    atoms reference doc columns, so they need the docs table."""
+    from ..queryparser import MatchAll
+
+    def walk(n) -> bool:
+        if isinstance(n, (Term, Phrase)):
+            toks = tokenize_py(n.text)
+            return len(toks) <= 1 or positional
+        if isinstance(n, (Wildcard, Fuzzy, MatchAll)):
+            return True
+        if isinstance(n, (And, Or)):
+            return all(walk(p) for p in n.parts)
+        if isinstance(n, Not):
+            return walk(n.part)
+        return False
+
+    return walk(node)
+
+
+def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
+    """doc_ids matching a text-only boolean, evaluated ENTIRELY over posting
+    lists — the ES filter-context / _count fast path (ref S2
+    /root/reference/app/helpers/es.py:143-158: a count query never fetches
+    documents). The docs table is not touched: marker arrays aggregate
+    per doc_id from the decoded postings and the boolean evaluates over
+    them. When the boolean guarantees a positive atom (required_atoms_union)
+    only marker rows can match; otherwise (pure negation / match_all) the
+    doc universe comes from the per-segment doclen sidecars — still
+    index-resident, still no corpus-text scan.
+
+    Caller contract: ``node`` must satisfy ``text_only``; the ids are those
+    of the indexed corpus (compose with a semi-join for subset inputs)."""
+    from .build import load_stats
+    from .query import doclen_df
+
+    empty = F.array().cast("array<string>")
+    positional = bool(load_stats(paths).get("positions"))
+    terms = single_token_terms(node)
+    patterns = pattern_atoms(node)
+    marks = _atom_markers(spark, paths, terms, patterns)
+    ph = _phrase_markers(spark, paths,
+                         multi_token_phrases(node)) if positional else None
+    if marks is not None and ph is not None:
+        base = marks.join(ph, "doc_id", "full")
+    elif marks is not None:
+        base = marks.withColumn(PHRASE_COL, empty)
+    elif ph is not None:
+        base = (ph.withColumn(MATCH_COL, empty)
+                  .withColumn(PATTERN_COL, empty))
+    else:
+        base = None
+    if required_atoms_union(node) is None:
+        # no positive-atom guarantee (negation / match_all can admit docs
+        # with zero markers): evaluate over the full doc universe from the
+        # doclen sidecar — a compact per-segment decode, never the docs table
+        universe = doclen_df(spark, paths).select("doc_id")
+        base = (universe if base is None
+                else universe.join(base, "doc_id", "left"))
+    elif base is None:
+        # a positive atom is required but none can match anything
+        return spark.createDataFrame([], "doc_id long")
+    for c in (MATCH_COL, PATTERN_COL, PHRASE_COL):
+        base = (base.withColumn(c, F.coalesce(F.col(c), empty))
+                if c in base.columns else base.withColumn(c, empty))
+    pred = indexed_predicate(node, "__no_text__", [], with_phrases=True)
+    return base.where(pred).select("doc_id")
+
+
 def indexed_filter(
     spark: SparkSession,
     paths: IndexPaths,
@@ -319,8 +416,19 @@ def indexed_filter(
     positional index, multi-token phrases (incl. sloppy `"a b"~2`) resolve
     via position-list intersection, and wildcard/fuzzy atoms via a
     dictionary-predicate segment scan — the compiled plan contains NO regex
-    over the corpus text at all."""
+    over the corpus text at all.
+
+    When the boolean is decidable purely from the index (``text_only``), the
+    whole filter collapses to ``matching_ids`` + a left-semi join: the docs
+    table contributes only its key column (Catalyst prunes the rest), the
+    way ES filter context never leaves the inverted index."""
     from .build import load_stats
+
+    if text_only(node, bool(load_stats(paths).get("positions"))):
+        ids = matching_ids(spark, paths, node).withColumnRenamed(
+            "doc_id", "__mi_doc_id")
+        return docs.join(ids, docs[doc_col] == F.col("__mi_doc_id"),
+                         "left_semi")
 
     terms = single_token_terms(node)
     patterns = pattern_atoms(node)

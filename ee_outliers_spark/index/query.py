@@ -580,14 +580,19 @@ def search_topk(
       by doc_id at score 0.
 
     Returns (doc_id, score) top-k. Both legs read posting lists; the score
-    join is doc_id-keyed and candidate-sized, never corpus-sized."""
-    from ..index.filter import indexed_filter
+    join is doc_id-keyed and candidate-sized, never corpus-sized. A
+    text-only boolean skips the docs table entirely (``matching_ids`` —
+    the ES behavior: a query with no field clauses never reads _source)."""
+    from ..index.filter import indexed_filter, matching_ids, text_only
 
-    eligible = indexed_filter(
-        spark, paths, docs, doc_col, text_col,
-        __parse(query_string), columns,
-    ).select(F.col(doc_col).cast("long").alias("doc_id"))
-    scores = _text_scores(spark, paths, __parse(query_string))
+    node = __parse(query_string)
+    if text_only(node, bool(load_stats(paths).get("positions"))):
+        eligible = matching_ids(spark, paths, node)
+    else:
+        eligible = indexed_filter(
+            spark, paths, docs, doc_col, text_col, node, columns,
+        ).select(F.col(doc_col).cast("long").alias("doc_id"))
+    scores = _text_scores(spark, paths, node)
     if scores is None:
         out = eligible.withColumn("score", F.lit(0.0))
     else:

@@ -187,6 +187,62 @@ def test_indexed_filter_matches_predicate_and_avoids_regex(
     assert got2 == want2
 
 
+def test_matching_ids_postings_only(spark, documents, pos_paths):
+    """Text-only booleans resolve ENTIRELY off the index (matching_ids —
+    the ES _count / filter-context fast path): same doc set as the regex
+    compilation over the corpus across atom shapes, including the
+    no-positive-guarantee case (top-level NOT / match-all) that needs the
+    doclen-sidecar universe instead of the docs table."""
+    from ee_outliers_spark.index.filter import matching_ids, text_only
+    from ee_outliers_spark.queryparser import (
+        parse_query_string, to_spark_predicate,
+    )
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    for qs in [
+        'window AND (cust* OR batch) AND NOT "batch batch"',
+        "NOT window",                       # universe path (no guarantee)
+        'custoner~1 OR "order key"~2',
+        "*",                                # match_all → whole universe
+        'window NOT (customer OR "key order")',
+        "nosuchterm",                       # nothing matches
+    ]:
+        node = parse_query_string(qs)
+        assert text_only(node, positional=True), qs
+        want = sorted(r["doc_id"] for r in documents.where(
+            to_spark_predicate(node, "text", cols)
+        ).select("doc_id").collect())
+        got = sorted(r["doc_id"] for r in
+                     matching_ids(spark, pos_paths, node).collect())
+        assert got == want, qs
+    # field/range/exists atoms are NOT decidable from postings
+    for qs in ["window AND lang:en", "n_chars:[10 TO 200]",
+               "_exists_:source"]:
+        assert not text_only(parse_query_string(qs), positional=True), qs
+
+
+def test_text_only_filter_never_reads_corpus_text(spark, sf_dir, pos_paths):
+    """indexed_filter on a text-only boolean collapses to matching_ids + a
+    left-semi join: the docs-side parquet scan reads ONLY the join key
+    (column pruning visible in ReadSchema) — at 100 TB the corpus text is
+    never touched by a filter/count query."""
+    from ee_outliers_spark.index.filter import indexed_filter
+    from ee_outliers_spark.queryparser import parse_query_string
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    node = parse_query_string('window AND (cust* OR batch)')
+    out = indexed_filter(spark, pos_paths, docs, "doc_id", "text", node,
+                         cols).select("doc_id")  # the count/ids query shape
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    import re
+    doc_scans = [m for m in re.findall(r"ReadSchema: struct<[^>]*>", plan)
+                 if "doc_blob" not in m]  # exclude index-segment scans
+    assert doc_scans and all(
+        "text" not in m for m in doc_scans), doc_scans
+
+
 def test_wand_resume(spark, documents, tmp_path_factory, oracle):
     """Kill-and-resume: a build with half the segments done completes and
     answers identically (north_rule resumability)."""
