@@ -1,34 +1,59 @@
 """Benchmark harness (driver-run per round; also the local feedback loop).
 
-Runs the headline pipeline at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS]:
-  - SPIMI index build (docs/sec — the north-star throughput metric)
-  - BM25 top-k via block-max WAND segments and via the DataFrame path
-    (per-query latency; reference query set shapes: rare, head, conj, disj,
-    phrase)
-  - analyzer layer (terms/metrics/sudden_appearance)
-  - pipeline ops (minhash-LSH dedup, ANN)
+Two layers (round-3 verdict: the official record must be noise-robust and
+the final stdout line must fit the driver's 2000-char tail window):
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec}, "sf": ..., "docs_per_sec": ..., ...}
+- ORCHESTRATOR (default): runs the full suite ``SPARK_GRAFT_BENCH_REPS``
+  times (default 3), each invocation a FRESH JVM (separate subprocess), and
+  reports per-query MEDIANS of the first-run timings plus POOLED latency
+  percentiles across invocations. Host load on this box swings same-code
+  totals 30-50% hour to hour (BENCH.md); medians over fresh-JVM invocations
+  make a regression claim decidable from the official record alone. Full
+  per-invocation detail goes to ``BENCH_FULL.json``; the final stdout line
+  is a SHORT summary the driver's tail window always captures.
+
+- WORKER (``--worker --out FILE``): one pass of the suite at
+  $SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS]:
+  SPIMI index build (docs/sec), BM25 block-max WAND latencies (rare, head,
+  conj, disj, phrase shapes), filter context, analyzers, pipeline ops
+  (minhash-LSH dedup, ANN), incremental append, and a 600k-doc scale block.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
+import statistics
+import subprocess
 import sys
 import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ee_outliers_spark.session import get_spark  # noqa: E402
+
+def _pctile(sorted_ms: list[float], q: float) -> float:
+    """Nearest-rank percentile (round-3 ADVICE: int(n*q) indexed the MAX at
+    n=20; ceil(q*n)-1 is the statistic the label claims)."""
+    i = max(0, math.ceil(q * len(sorted_ms)) - 1)
+    return sorted_ms[i]
 
 
-def main() -> None:
+def _lat_summary(samples_ms: list[float], reps: int) -> dict:
+    s = sorted(samples_ms)
+    return {
+        "p50_ms": round(_pctile(s, 0.50), 1),
+        "p95_ms": round(_pctile(s, 0.95), 1),
+        "reps": reps,
+        "samples_ms": [round(x, 1) for x in s],
+    }
+
+
+def worker(out_path: str | None) -> None:
+    from ee_outliers_spark.session import get_spark
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -74,13 +99,7 @@ def main() -> None:
             t0 = time.monotonic()
             fn()
             samples.append((time.monotonic() - t0) * 1000.0)
-        samples.sort()
-        latency[name] = {
-            "p50_ms": round(samples[len(samples) // 2], 1),
-            "p95_ms": round(samples[min(len(samples) - 1,
-                                        int(len(samples) * 0.95))], 1),
-            "reps": LAT_REPS,
-        }
+        latency[name] = _lat_summary(samples, LAT_REPS)
         return out
 
     WAND_QUERIES = {
@@ -138,12 +157,13 @@ def main() -> None:
     from ee_outliers_spark.index.cache import corpus_index
     corpus_index(spark, sf_dir)  # warm the shared index: time queries, not builds
     timed("querystring_filter", lambda: ep.querystring_filter(spark, sf_dir).count())
+    timed("qs_filter_textonly",
+          lambda: ep.count_matches_textonly(spark, sf_dir).collect())
     timed("range_filter", lambda: ep.range_filter(spark, sf_dir).count())
     timed("text_profile", lambda: ep.text_profile_q(spark, sf_dir).count())
     timed("token_count_bpe", lambda: ep.token_count_bpe_q(spark, sf_dir).count())
 
     # --- incremental append (streaming ingestion path, ST5) -------------------
-    from ee_outliers_spark.index.build import build_segments
     from ee_outliers_spark.streaming.daemon import append_segments
     from pyspark.sql import functions as F  # noqa: N812
 
@@ -222,13 +242,7 @@ def main() -> None:
                 fn()
                 samples.append((time.monotonic() - s0) * 1000.0)
             if samples:
-                samples.sort()
-                big_latency[name] = {
-                    "p50_ms": round(samples[len(samples) // 2], 1),
-                    "p95_ms": round(samples[min(len(samples) - 1,
-                                                int(len(samples) * 0.95))], 1),
-                    "reps": reps,
-                }
+                big_latency[name] = _lat_summary(samples, reps)
             return out
 
         big_dir = tempfile.mkdtemp(prefix="bench_big_idx_")
@@ -257,14 +271,20 @@ def main() -> None:
             btimed("qs_wildcard", lambda: querystring_topk(
                 spark, bpos, "cust* window", 10).collect(), reps=LAT_REPS)
             # filter context at scale: the reference's primary query shape
-            # (es_query_filter) over the 600k corpus, fully index-backed
-            from ee_outliers_spark.index.filter import indexed_filter
+            # (es_query_filter) over the 600k corpus. Text-only boolean →
+            # round-4 postings-only path (matching_ids): the count never
+            # touches the docs table.
+            from ee_outliers_spark.index.filter import (
+                indexed_filter, matching_ids,
+            )
             from ee_outliers_spark.queryparser import parse_query_string
             fq = parse_query_string(
                 'window AND (cust* OR batch) AND NOT "batch batch"')
             btimed("qs_filter", lambda: indexed_filter(
                 spark, bpos, big, "doc_id", "text", fq,
                 ["doc_id", "text"]).count(), reps=LAT_REPS)
+            btimed("qs_count", lambda: matching_ids(
+                spark, bpos, fq).count(), reps=LAT_REPS)
         finally:
             shutil.rmtree(big_pos_dir, ignore_errors=True)
         big.unpersist()
@@ -279,7 +299,7 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    record = {
         "metric": "index-build + BM25 topk + analyzer suite wall time",
         "value": total,
         "unit": "sec",
@@ -291,7 +311,114 @@ def main() -> None:
         "lsh_candidate_frac": lsh_candidate_frac,
         "cpus": cpus,
         **big_block,
-    }))
+    }
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(record, fh)
+    print(json.dumps(record))
+
+
+# --------------------------------------------------------------------------
+# orchestrator: medians over fresh-JVM invocations, short final line
+# --------------------------------------------------------------------------
+
+def _median_map(maps: list[dict[str, float]]) -> dict[str, float]:
+    keys = [k for k in maps[0] if all(k in m for m in maps)]
+    return {k: round(statistics.median(m[k] for m in maps), 3) for k in keys}
+
+
+def _pooled_p95(lat_dicts: list[dict[str, dict]]) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in lat_dicts[0]:
+        pool: list[float] = []
+        for d in lat_dicts:
+            pool.extend(d.get(name, {}).get("samples_ms", []))
+        if pool:
+            out[name] = round(_pctile(sorted(pool), 0.95), 1)
+    return out
+
+
+def orchestrate() -> None:
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    # per-invocation latency reps: 3 invocations × 6 reps pool 18 samples —
+    # the same sample budget as round 3's single 20-rep run, but spread over
+    # fresh JVMs so a host-noise burst cannot poison the whole record
+    env.setdefault("SPARK_GRAFT_LAT_REPS", "6")
+
+    invocations: list[dict] = []
+    for i in range(reps):
+        outf = tempfile.mktemp(prefix=f"bench_inv{i}_", suffix=".json")
+        t0 = time.monotonic()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--out", outf],
+            env=env, stdout=subprocess.DEVNULL, timeout=3600,
+        )
+        wall = round(time.monotonic() - t0, 1)
+        if proc.returncode != 0 or not os.path.exists(outf):
+            print(f"bench invocation {i + 1}/{reps} FAILED "
+                  f"(rc={proc.returncode})", file=sys.stderr)
+            continue
+        with open(outf) as fh:
+            rec = json.load(fh)
+        os.unlink(outf)
+        rec["wall_secs"] = wall
+        invocations.append(rec)
+        print(f"bench invocation {i + 1}/{reps}: total={rec['value']}s "
+              f"wall={wall}s", file=sys.stderr)
+    if not invocations:
+        print(json.dumps({"metric": "bench failed", "value": -1.0,
+                          "unit": "sec", "queries": {}}))
+        sys.exit(1)
+
+    queries = _median_map([r["queries"] for r in invocations])
+    total = round(sum(queries.values()), 3)
+    summary = {
+        "metric": "index-build + BM25 topk + analyzer suite wall time "
+                  f"(median of {len(invocations)} fresh-JVM runs)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": invocations[0]["sf"],
+        "n_docs": invocations[0]["n_docs"],
+        "docs_per_sec_index_build": round(statistics.median(
+            r["docs_per_sec_index_build"] for r in invocations), 1),
+        "cpus": invocations[0]["cpus"],
+        "bench_reps": len(invocations),
+        "p95_ms": _pooled_p95([r["latency"] for r in invocations]),
+        "detail": "BENCH_FULL.json",
+    }
+    if all("queries_600k" in r for r in invocations):
+        summary["queries_600k"] = _median_map(
+            [r["queries_600k"] for r in invocations])
+        summary["n_docs_600k"] = invocations[0]["n_docs_600k"]
+        summary["docs_per_sec_index_build_600k"] = round(statistics.median(
+            r["docs_per_sec_index_build_600k"] for r in invocations), 1)
+        summary["p95_600k_ms"] = _pooled_p95(
+            [r["latency_600k"] for r in invocations])
+
+    full = {"invocations": invocations, "summary": summary}
+    with open(os.path.join(repo, "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+
+    line = json.dumps(summary)
+    if len(line) > 1900:  # the driver keeps a 2000-char stdout tail
+        for k in ("p95_ms", "p95_600k_ms", "latency"):
+            summary.pop(k, None)
+        line = json.dumps(summary)
+    print(line)
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        out = None
+        if "--out" in sys.argv:
+            out = sys.argv[sys.argv.index("--out") + 1]
+        worker(out)
+    else:
+        orchestrate()
 
 
 if __name__ == "__main__":

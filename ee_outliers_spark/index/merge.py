@@ -70,6 +70,13 @@ def _merge_group(pdf: pd.DataFrame, new_seg: int) -> pd.DataFrame:
 
     # merged (term, doc_id, tf[, poss]) frame — doc-disjoint ⇒ concat+sort
     positional = term_rows["pos_blob"].notna().any() if len(term_rows) else False
+    if positional and term_rows["pos_blob"].isna().any():
+        # a merge group mixing positional and non-positional rows means the
+        # index's stats 'positions' flag and segment contents diverged —
+        # decoding None would TypeError mid-task; fail with the real cause
+        raise ValueError(
+            "merge group mixes positional and non-positional postings "
+            "(corrupt index: segments disagree on positions)")
     frames = []
     for term, dblob, tblob, pblob in zip(
             term_rows["term"], term_rows["doc_blob"],

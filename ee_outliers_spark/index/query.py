@@ -344,15 +344,16 @@ def phrase_topk_wand(
         return spark.createDataFrame([], TOPK_SCHEMA)
     stats = load_stats(paths)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    hits = hits.cache()
-    dfp = hits.count()
-    if dfp == 0:
-        return spark.createDataFrame([], TOPK_SCHEMA)
-    idf = _idf(n_docs, int(dfp))
-    scored = hits.select(
+    # phrase df feeds idf as a broadcast COLUMN (one job, no cache/count —
+    # a zero-hit phrase yields an empty frame either way); see _text_scores
+    cnt = hits.agg(F.count("*").cast("double").alias("__pdf"))
+    idf_col = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("__pdf") + 0.5)
+        / (F.col("__pdf") + 0.5))
+    scored = hits.crossJoin(F.broadcast(cnt)).select(
         "doc_id",
         (
-            F.lit(idf) * (F.col("tf") * (K1 + 1.0))
+            idf_col * (F.col("tf") * (K1 + 1.0))
             / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(float(avgdl))))
         ).alias("score"),
     )
@@ -539,16 +540,36 @@ def _text_scores(spark: SparkSession, paths: IndexPaths,
         contribs.append(
             post.join(F.broadcast(exp_stats), "term").select(
                 "doc_id", bm25(F.col("tf"), idf_col).alias("contrib")))
-    for p, slop, boost in atoms["phrases"]:
-        hits = phrase_matches_df(spark, paths, p, slop).cache()
-        dfp = hits.count()
-        if dfp == 0:
-            continue
-        idf = _idf(n_docs, int(dfp)) * float(boost)
-        contribs.append(hits.select(
-            "doc_id",
-            bm25(F.col("tf"), F.lit(idf)).alias("contrib"),
-        ))
+    # phrase atoms: df (docs containing the phrase) is needed for idf, but a
+    # driver-side count per phrase costs one synchronized job each (P+1 jobs
+    # for a P-phrase query) and a cache() that outlives the query. Instead
+    # df stays a COLUMN: all phrase hits union into one tagged frame, a tiny
+    # groupBy counts per phrase, and a broadcast join feeds the count into
+    # the idf expression — ONE job, no cache, no driver sync. The broadcast
+    # subtree recomputes the phrase intersection once more, but both sides
+    # run inside the same job and the work is candidate-sized.
+    ph_parts = []
+    ph_boosts: dict[int, float] = {}
+    for i, (p, slop, boost) in enumerate(atoms["phrases"]):
+        h = _phrase_hits(spark, paths, p, slop)
+        if h is not None:
+            ph_parts.append(h.select(
+                "doc_id", "tf", "dl", F.lit(i).alias("__pk")))
+            ph_boosts[i] = float(boost)
+    if ph_parts:
+        tagged = ph_parts[0]
+        for x in ph_parts[1:]:
+            tagged = tagged.unionByName(x)
+        counts = tagged.groupBy("__pk").agg(
+            F.count("*").cast("double").alias("__pdf"))
+        boost_map = F.create_map(
+            *[F.lit(v) for i, b in ph_boosts.items() for v in (i, b)])
+        idf_col = F.log(
+            1.0 + (F.lit(float(n_docs)) - F.col("__pdf") + 0.5)
+            / (F.col("__pdf") + 0.5)) * boost_map[F.col("__pk")]
+        contribs.append(
+            tagged.join(F.broadcast(counts), "__pk").select(
+                "doc_id", bm25(F.col("tf"), idf_col).alias("contrib")))
     if not contribs:
         return None
     allc = contribs[0]
@@ -814,17 +835,51 @@ def _or_segment(cursors: list[_TermCursor], k: int, avgdl: float
     (gather → impact → unique-accumulate → top-k merge) instead of one
     interpreted Python iteration per pivot. At 600k docs this turned the
     4-term disjunction from seconds of pure-Python pivot walking into
-    milliseconds of numpy."""
-    decoded = []
-    for c in cursors:
-        docs = np.cumsum(varbyte_decode(c.doc_blob)).astype(np.int64)
-        tfs = varbyte_decode(c.tf_blob).astype(np.int64)
-        dls = c.dl_vals[np.searchsorted(c.dl_docs, docs)]
-        decoded.append((c, docs, c.idf * _impact_np(tfs, dls, avgdl)))
+    milliseconds of numpy.
+
+    Decompression is LAZY per 128-block: a chunk decodes only the blocks
+    that overlap it (via each cursor's block_last_doc directory — block
+    boundaries need no decoding), and once θ kills the remaining chunks
+    their blocks are never decompressed. A head-term list in a skipped
+    region costs nothing — the round-3 eager whole-list decode is gone."""
+    # per-cursor decoded-block cache: blk → (doc ids, idf-scaled impacts);
+    # _load allocates fresh arrays per call, so cached refs stay valid
+    caches: list[dict[int, tuple[np.ndarray, np.ndarray]]] = [
+        {} for _ in cursors]
+
+    def chunk_postings(ci: int, lo: int, hi: int):
+        """(docs, impacts) of cursor ci within [lo, hi], decoding only the
+        overlapping blocks."""
+        c = cursors[ci]
+        bl = c.block_last
+        if len(bl) == 0 or lo > int(bl[-1]):
+            return None
+        b0 = int(np.searchsorted(bl, lo, side="left"))
+        b1 = min(int(np.searchsorted(bl, hi, side="left")), len(bl) - 1)
+        pd_, ps_ = [], []
+        for b in range(b0, b1 + 1):
+            got = caches[ci].get(b)
+            if got is None:
+                c._load(b)
+                got = (c.blk_docs,
+                       c.idf * _impact_np(c.blk_tfs, c.blk_dls, avgdl))
+                caches[ci][b] = got
+            docs, imp = got
+            a = int(np.searchsorted(docs, lo, side="left"))
+            e = int(np.searchsorted(docs, hi, side="right"))
+            if a < e:
+                pd_.append(docs[a:e])
+                ps_.append(imp[a:e])
+        if not pd_:
+            return None
+        return np.concatenate(pd_), np.concatenate(ps_)
 
     dense = max(cursors, key=lambda c: c.n)
     grid = np.asarray(dense.block_last, dtype=np.int64)
-    max_doc = max(int(d[-1]) for _, d, _ in decoded if len(d))
+    # block_last_doc covers the final partial block, so each cursor's last
+    # doc is its block_last[-1] — no decode needed for the grid bound
+    max_doc = max(int(c.block_last[-1]) for c in cursors
+                  if len(c.block_last))
     if len(grid) == 0 or grid[-1] < max_doc:
         grid = np.append(grid, max_doc)
     m = len(grid)
@@ -854,12 +909,11 @@ def _or_segment(cursors: list[_TermCursor], k: int, avgdl: float
         lo = int(grid[j - 1]) + 1 if j > 0 else 0
         hi = int(grid[j])
         parts_d, parts_s = [], []
-        for _c, docs, impacts in decoded:
-            a = np.searchsorted(docs, lo, side="left")
-            b = np.searchsorted(docs, hi, side="right")
-            if a < b:
-                parts_d.append(docs[a:b])
-                parts_s.append(impacts[a:b])
+        for ci in range(len(cursors)):
+            got = chunk_postings(ci, lo, hi)
+            if got is not None:
+                parts_d.append(got[0])
+                parts_s.append(got[1])
         if not parts_d:
             continue
         d = np.concatenate(parts_d)

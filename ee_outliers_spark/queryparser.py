@@ -879,7 +879,28 @@ def dsl_to_ast(d: dict):
         # matching in filter context.
         msm = int(body.get("minimum_should_match", 1 if not parts else 0))
         if should and msm >= 1:
-            parts.append(Or([dsl_to_ast(c) for c in should]))
+            clauses = [dsl_to_ast(c) for c in should]
+            if msm == 1:
+                parts.append(Or(clauses))
+            elif msm == len(clauses):
+                parts.append(And(clauses))
+            elif msm > len(clauses):
+                # ES: msm above the clause count can never be satisfied
+                parts.append(Not(MatchAll()))
+            else:
+                # at-least-N compiles to an OR over all N-subsets — exact ES
+                # semantics with zero new backend surface (every compiler /
+                # marker path already handles And/Or). Bounded: ES bool
+                # queries carry a handful of should clauses; C(n, m) beyond
+                # the cap signals a misuse, not a query.
+                from itertools import combinations
+
+                combos = list(combinations(clauses, msm))
+                if len(combos) > 200:
+                    raise ValueError(
+                        f"minimum_should_match={msm} over {len(clauses)} "
+                        "should clauses expands past 200 conjunctions")
+                parts.append(Or([And(list(cb)) for cb in combos]))
         must_not = body.get("must_not", [])
         must_not = must_not if isinstance(must_not, list) else [must_not]
         parts.extend(Not(dsl_to_ast(c)) for c in must_not)

@@ -181,6 +181,37 @@ def test_dsl_subset():
         dsl_to_ast({"more_like_this": {"fields": ["text"]}})
 
 
+def test_dsl_minimum_should_match_at_least_n():
+    """msm >= 2 compiles an exact at-least-N boolean (round-3 ADVICE: it was
+    silently weakened to at-least-1), verified via the python compiler over
+    hand-made rows; msm == n → And; msm > n → matches nothing."""
+    from ee_outliers_spark.queryparser import to_python_predicate
+
+    should = [{"match": {"text": "aa"}}, {"match": {"text": "bb"}},
+              {"match": {"text": "cc"}}]
+    cols = ["doc_id", "text"]
+
+    def matches(msm, text):
+        ast = dsl_to_ast({"bool": {"should": should,
+                                   "minimum_should_match": msm}})
+        return to_python_predicate(ast, "text", cols)(
+            {"doc_id": 1, "text": text})
+
+    for text, n_hits in [("aa bb cc", 3), ("aa bb x", 2), ("aa x y", 1),
+                         ("x y z", 0)]:
+        for msm in (1, 2, 3):
+            assert matches(msm, text) == (n_hits >= msm), (text, msm)
+        assert matches(4, text) is False  # msm > clause count: never matches
+    ast_all = dsl_to_ast({"bool": {"should": should,
+                                   "minimum_should_match": 3}})
+    assert isinstance(ast_all, And)
+    with pytest.raises(ValueError):
+        dsl_to_ast({"bool": {
+            "should": [{"match": {"text": f"t{i}"}} for i in range(30)],
+            "minimum_should_match": 15,
+        }})
+
+
 QUERIES = [
     "fast",
     '"key order"',
