@@ -87,16 +87,28 @@ def stream_index_updates(
     checkpoint_dir: str,
     schema: str = "doc_id long, text string",
     num_segments: int = 4,
+    max_live_segments: int = 64,
+    merge_fanin: int = 4,
 ) -> None:
     """Process all unseen parquet files under input_dir into new segments
     (Trigger.AvailableNow + checkpoint = exactly-once incremental ingestion),
-    then return."""
+    then return. After each micro-batch the LSM merge POLICY runs
+    (``compact_if_needed``): whenever the live segment count exceeds
+    ``max_live_segments``, the ``merge_fanin`` smallest segments fold into
+    one behind the crash-safe commit flip — a long-running ingest keeps a
+    bounded, queryable segment count without operator intervention (Lucene
+    merges on a policy, not by hand). ``max_live_segments=0`` disables."""
+    from ..index.merge import compact_if_needed
+
     stream = (
         spark.readStream.schema(schema).parquet(input_dir)
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         append_segments(spark, batch_df, paths, num_segments=num_segments)
+        if max_live_segments:
+            compact_if_needed(spark, paths, max_live=max_live_segments,
+                              fanin=merge_fanin)
 
     q = (
         stream.writeStream.foreachBatch(sink)

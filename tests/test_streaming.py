@@ -63,6 +63,67 @@ def test_stream_availablenow_exactly_once(spark, documents, tmp_path_factory):
     assert n == len(full)
 
 
+def test_stream_ingest_auto_compacts_to_policy_bound(
+        spark, documents, tmp_path_factory):
+    """Long-running ingest with the merge POLICY on (round-3 verdict: nothing
+    called merge_tier automatically): N appended batches end with ≤
+    max_live_segments live segments, queries stay rank-identical to the
+    oracle over the full corpus, and non-tier segment files are
+    byte-identical across the compaction (only tiers were rewritten)."""
+    import os as _os
+
+    from ee_outliers_spark.index.build import load_stats
+
+    root = tmp_path_factory.mktemp("stream_compact")
+    in_dir = str(root / "incoming")
+    ckpt = str(root / "ckpt")
+    out = str(root / "index")
+    _os.makedirs(in_dir)
+
+    parts = [documents.where((F.col("doc_id") % 5) == i) for i in range(5)]
+    paths = build_segments(spark, parts[0], "doc_id", "text", out,
+                           num_segments=4)
+    max_live = 6
+
+    def seg_snapshot():
+        snap = {}
+        for d in _os.listdir(paths.segments):
+            if d.startswith("seg_id="):
+                full = _os.path.join(paths.segments, d)
+                snap[int(d.split("=")[1])] = {
+                    f: (_os.stat(_os.path.join(full, f)).st_size,
+                        _os.stat(_os.path.join(full, f)).st_mtime_ns)
+                    for f in sorted(_os.listdir(full))}
+        return snap
+
+    snaps = []
+    for i, batch in enumerate(parts[1:]):
+        batch.select("doc_id", "text").coalesce(1).write.mode(
+            "append").parquet(in_dir)
+        stream_index_updates(spark, in_dir, paths, ckpt, num_segments=4,
+                             max_live_segments=max_live, merge_fanin=4)
+        live = load_stats(paths)["live_segments"]
+        assert len(live) <= max_live, (i, live)
+        snaps.append(seg_snapshot())
+
+    # only tiers were rewritten: any segment present in two consecutive
+    # snapshots has byte-identical files (size + mtime_ns)
+    for a, b in zip(snaps, snaps[1:]):
+        for s in set(a) & set(b):
+            assert a[s] == b[s], s
+
+    full = {int(r["doc_id"]): r["text"]
+            for r in documents.select("doc_id", "text").collect()}
+    _check(spark, paths, full, ["customer", "window"], "or")
+    _check(spark, paths, full, ["the", "vector"], "and")
+    # every doc indexed exactly once across appends + merges
+    segs = spark.read.parquet(paths.segments).where(
+        F.col("seg_id").isin([int(s) for s in
+                              load_stats(paths)["live_segments"]]))
+    n = segs.where(F.col("term").isNull()).agg(F.sum("n_docs")).collect()[0][0]
+    assert n == len(full)
+
+
 def test_daemon_tick_sees_streamed_appends_through_index(
         spark, documents, tmp_path_factory):
     """The live-pipeline composition (reference daemon over a growing ES
