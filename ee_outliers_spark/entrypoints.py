@@ -1607,6 +1607,129 @@ def ann_ivf_topk_q(spark, sf_dir):
     )
 
 
+_IVF_RECALL_QID = 7
+
+
+def _ivf_recall_sql() -> str:
+    """Independent referee for the IVF family (round-3 verdict: LSH had a
+    refereed recall gate, IVF only the exact twin): DuckDB recomputes the
+    candidate count for the probed cells, the brute-force similar band
+    (cosine ≥ 0.35 of the top-10), the band recall of the IVF top-10, and
+    the pruning/recall booleans — all from the seed quantizer alone,
+    without touching the engine under test. The query is a CORPUS vector
+    (vec_id {_IVF_RECALL_QID}): on sf0.01's isotropic-noise embeddings no
+    coarse quantizer can recall an OFF-corpus query's neighbors (same
+    data-honesty note as the LSH gate), but a corpus query's similar band
+    is recallable — its own cell is by construction the first probe."""
+    return f"""
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = {_IVF_RECALL_QID}),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {_IVF_CELLS})
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+scored AS (
+  SELECT vec_id, cell,
+         list_sum(list_transform(cv, x -> x * x))
+           - 2 * list_dot_product(vd, cv) AS dist
+  FROM v CROSS JOIN cents
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cell) AS rn
+    FROM scored) WHERE rn = 1
+),
+probe AS (
+  SELECT cell FROM (
+    SELECT cell,
+           list_sum(list_transform(cv, x -> x * x))
+             - 2 * list_dot_product(qv, cv) AS dist
+    FROM cents CROSS JOIN q)
+  ORDER BY dist, cell LIMIT {_IVF_NPROBE}
+),
+cos AS (
+  SELECT vec_id,
+         list_sum(list_zip(vd, qv).apply(p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(vd, x -> x * x)))
+            * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+  FROM v CROSS JOIN q
+),
+band AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, cosine FROM cos
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10)
+  WHERE cosine >= 0.35
+),
+cand AS (SELECT vec_id FROM assign
+         WHERE cell IN (SELECT cell FROM probe)),
+ivf_top AS (
+  SELECT c.vec_id FROM cos c JOIN cand USING (vec_id)
+  ORDER BY cosine DESC, vec_id ASC LIMIT 10
+),
+m AS (
+  SELECT (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM band) AS band_size,
+         (SELECT count(*) FROM band
+          WHERE vec_id IN (SELECT vec_id FROM ivf_top)) AS band_retrieved,
+         (SELECT count(*) FROM embeddings) AS n
+)
+SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(band_size AS BIGINT) AS band_size,
+       CAST(band_retrieved AS BIGINT) AS band_retrieved,
+       (n_candidates * 2 <= n) AS pruned_ok,
+       (band_size = 0 OR band_retrieved * 4 >= band_size * 3) AS recall_ok
+FROM m
+"""
+
+
+@register("ann_ivf_recall", _ivf_recall_sql())
+def ann_ivf_recall_q(spark, sf_dir):
+    """Engine-side measurement of the same five facts: candidate count via
+    the partition-pruned cell read, brute band via cosine_topk, retrieval
+    via the IVF probe pipeline. MATCH means pruning and band recall equal
+    the truth DuckDB derived independently."""
+    from .index.cache import ivf_index
+    from .operators.similarity import (
+        _probe_cells, cosine_topk, ivf_topk_indexed,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(
+        F.col("vec_id") == _IVF_RECALL_QID).select("embedding")
+        .collect()[0][0]]
+    path, cents = ivf_index(spark, sf_dir, n_cells=_IVF_CELLS)
+    cells = [int(c) for c in _probe_cells(cents, qv)[:_IVF_NPROBE]]
+    n_cand = (spark.read.parquet(path)
+              .where(F.col("cell").isin(cells)).count())
+    band = [
+        int(r["vec_id"])
+        for r in cosine_topk(emb, "vec_id", "embedding", qv, 10)
+        .collect() if float(r["cosine"]) >= 0.35
+    ]
+    approx = {
+        int(r["id"]) for r in
+        ivf_topk_indexed(spark, path, cents, qv, 10,
+                         _IVF_NPROBE).collect()
+    }
+    n = emb.count()
+    band_retrieved = len(set(band) & approx)
+    return spark.createDataFrame(
+        [(int(n_cand), int(len(band)), int(band_retrieved),
+          bool(n_cand * 2 <= n),
+          bool((not band) or band_retrieved * 4 >= len(band) * 3))],
+        "n_candidates long, band_size long, band_retrieved long, "
+        "pruned_ok boolean, recall_ok boolean",
+    )
+
+
 @register("ann_cosine_topk", _ann_sql(10))
 def ann_cosine_topk_q(spark, sf_dir):
     from .operators.similarity import cosine_topk

@@ -40,6 +40,7 @@ Scale design (10^12 docs):
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from collections import Counter
@@ -418,13 +419,33 @@ def write_manifest(spark: SparkSession, paths: IndexPaths, seg_ids: list[int],
             }) + "\n")
 
 
+def auto_num_segments(spark: SparkSession, n_docs: int,
+                      docs_per_segment: int = 16_384,
+                      cap: int = 4096) -> int:
+    """SPIMI memory-budget segment count.
+
+    One segment is one applyInPandas task that materializes its full
+    (term, doc, tf[, poss]) frame: web-scale docs average a few hundred
+    distinct (term, doc) pairs at ~40 B each, so ``docs_per_segment``=16k
+    keeps a task's frame in the low hundreds of MB — comfortably inside an
+    executor core's share even with the pandas/Arrow copy. The floor is the
+    cluster's parallelism (every core builds, one wave when the corpus is
+    small); the cap bounds the partition-directory count for one index —
+    a corpus that would exceed it (≫10^8 docs) should shard into multiple
+    indexes (by day/tenant), which the day-partitioned layout already does.
+    """
+    cores = spark.sparkContext.defaultParallelism
+    need = math.ceil(max(1, n_docs) / docs_per_segment)
+    return max(cores, min(cap, need)) if need > cores else cores
+
+
 def build_segments(
     spark: SparkSession,
     df: DataFrame,
     doc_col: str,
     text_col: str,
     out_dir: str,
-    num_segments: int = 32,
+    num_segments: int | None = 32,
     resume: bool = True,
     positions: bool = False,
 ) -> IndexPaths:
@@ -433,13 +454,17 @@ def build_segments(
     Lineage + postings/sec per segment land in ``manifest.jsonl``
     (north_rule: per-partition checkpoints, lineage, metrics).
     ``positions=True`` stores per-posting token positions (pos_blob) so
-    phrase queries run off the index — see ``_pair_stream`` for the cost."""
+    phrase queries run off the index — see ``_pair_stream`` for the cost.
+    ``num_segments=None`` derives the count from the corpus size and core
+    count (``auto_num_segments`` — the SPIMI memory budget)."""
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     base = df.select(
         F.col(doc_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
     )
+    if num_segments is None:
+        num_segments = auto_num_segments(spark, base.count())
 
     done: set[int] = set()
     if resume and os.path.exists(paths.manifest):

@@ -350,53 +350,167 @@ def text_only(node, positional: bool) -> bool:
     return walk(node)
 
 
+def _pattern_specs(node) -> dict[str, tuple | None]:
+    """marker key → picklable matcher spec over dictionary term strings:
+    ("re", regex_source) for wildcards, ("lev", token, max_edits) for
+    fuzzies, None when the atom can never match a token."""
+    from ..queryparser import wildcard_token_body
+
+    out: dict[str, tuple | None] = {}
+
+    def walk(n):
+        if isinstance(n, Wildcard):
+            if wildcard_key(n.text) not in out:
+                body = wildcard_token_body(n.text)
+                out[wildcard_key(n.text)] = (
+                    None if body is None else ("re", f"({body})"))
+        elif isinstance(n, Fuzzy):
+            toks = tokenize_py(n.text)
+            k = fuzzy_key(n.text, n.max_edits)
+            out.setdefault(
+                k, ("lev", toks[0], n.max_edits) if len(toks) == 1 else None)
+        elif isinstance(n, (And, Or)):
+            for p in n.parts:
+                walk(p)
+        elif isinstance(n, Not):
+            walk(n.part)
+
+    walk(node)
+    return out
+
+
 def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
     """doc_ids matching a text-only boolean, evaluated ENTIRELY over posting
-    lists — the ES filter-context / _count fast path (ref S2
-    /root/reference/app/helpers/es.py:143-158: a count query never fetches
-    documents). The docs table is not touched: marker arrays aggregate
-    per doc_id from the decoded postings and the boolean evaluates over
-    them. When the boolean guarantees a positive atom (required_atoms_union)
-    only marker rows can match; otherwise (pure negation / match_all) the
-    doc universe comes from the per-segment doclen sidecars — still
-    index-resident, still no corpus-text scan.
+    lists with ZERO doc-keyed shuffle — the ES filter-context / _count fast
+    path (ref S2 /root/reference/app/helpers/es.py:143-158: a count query
+    never fetches documents; Lucene evaluates the bool as per-segment bitset
+    algebra). Segments partition the doc space, so the boolean DISTRIBUTES
+    over segments: inside one applyInPandas task the atoms become sorted
+    numpy doc-id arrays (posting lists; pattern atoms union their matching
+    dictionary rows; phrases intersect position lists; the doclen sidecar is
+    the segment's universe for NOT/match-all) and And/Or/Not are
+    intersect/union/setdiff. The plan is ONE pushed-down segment scan →
+    grouped evaluation → union of per-segment id arrays; no groupBy over
+    marker rows, no join, no docs-table access.
 
     Caller contract: ``node`` must satisfy ``text_only``; the ids are those
     of the indexed corpus (compose with a semi-join for subset inputs)."""
+    from ..queryparser import MatchAll, phrase_key
     from .build import load_stats
-    from .query import doclen_df
+    from .codec import decode_position_stream
+    from .query import _phrase_seg_match
 
-    empty = F.array().cast("array<string>")
     positional = bool(load_stats(paths).get("positions"))
     terms = single_token_terms(node)
-    patterns = pattern_atoms(node)
-    marks = _atom_markers(spark, paths, terms, patterns)
-    ph = _phrase_markers(spark, paths,
-                         multi_token_phrases(node)) if positional else None
-    if marks is not None and ph is not None:
-        base = marks.join(ph, "doc_id", "full")
-    elif marks is not None:
-        base = marks.withColumn(PHRASE_COL, empty)
-    elif ph is not None:
-        base = (ph.withColumn(MATCH_COL, empty)
-                  .withColumn(PATTERN_COL, empty))
-    else:
-        base = None
-    if required_atoms_union(node) is None:
-        # no positive-atom guarantee (negation / match_all can admit docs
-        # with zero markers): evaluate over the full doc universe from the
-        # doclen sidecar — a compact per-segment decode, never the docs table
-        universe = doclen_df(spark, paths).select("doc_id")
-        base = (universe if base is None
-                else universe.join(base, "doc_id", "left"))
-    elif base is None:
-        # a positive atom is required but none can match anything
-        return spark.createDataFrame([], "doc_id long")
-    for c in (MATCH_COL, PATTERN_COL, PHRASE_COL):
-        base = (base.withColumn(c, F.coalesce(F.col(c), empty))
-                if c in base.columns else base.withColumn(c, empty))
-    pred = indexed_predicate(node, "__no_text__", [], with_phrases=True)
-    return base.where(pred).select("doc_id")
+    pattern_preds = pattern_atoms(node)          # scan-pushdown Columns
+    specs = _pattern_specs(node)                 # python twins for re-test
+    phrases = multi_token_phrases(node) if positional else []
+    ph_tokens = sorted({t for _k, text, _s in phrases
+                        for t in tokenize_py(text)})
+    need_terms = sorted(set(terms) | set(ph_tokens))
+
+    combined = F.col("term").isNull()            # sidecar = universe
+    if need_terms:
+        combined = combined | F.col("term").isin(need_terms)
+    for _, p in pattern_preds:
+        if p is not None:
+            combined = combined | p
+    cols = ["seg_id", "term", "doc_blob"]
+    if phrases:
+        cols += ["tf_blob", "pos_blob"]
+    segs = read_live_segments(spark, paths).where(combined).select(*cols)
+
+    ph_defs = [(k, tokenize_py(text), slop) for k, text, slop in phrases]
+    ph_token_set = set(ph_tokens)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty_pdf = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        dl_rows = pdf[pdf["term"].isna()]
+        if dl_rows.empty:
+            return empty_pdf
+        universe = np.cumsum(
+            varbyte_decode(bytes(dl_rows["doc_blob"].iloc[0]))
+        ).astype(np.int64)
+        term_rows = pdf[pdf["term"].notna()]
+        docsets: dict[str, np.ndarray] = {}
+        for term, dblob in zip(term_rows["term"], term_rows["doc_blob"]):
+            docsets[term] = np.cumsum(
+                varbyte_decode(bytes(dblob))).astype(np.int64)
+        nothing = np.empty(0, dtype=np.int64)
+
+        import re as _re
+
+        from ..queryparser import levenshtein_py
+
+        pat_sets: dict[str, np.ndarray] = {}
+        for k, spec in specs.items():
+            if spec is None:
+                pat_sets[k] = nothing
+            elif spec[0] == "re":
+                rx = _re.compile(spec[1])
+                parts = [d for t, d in docsets.items() if rx.fullmatch(t)]
+                pat_sets[k] = (np.unique(np.concatenate(parts))
+                               if parts else nothing)
+            else:
+                _, tok, m = spec
+                parts = [d for t, d in docsets.items()
+                         if abs(len(t) - len(tok)) <= m
+                         and levenshtein_py(t, tok) <= m]
+                pat_sets[k] = (np.unique(np.concatenate(parts))
+                               if parts else nothing)
+
+        ph_sets: dict[str, np.ndarray] = {}
+        if ph_defs:
+            plists: dict[str, tuple] = {}
+            for term, dblob, tblob, pblob in zip(
+                    term_rows["term"], term_rows["doc_blob"],
+                    term_rows["tf_blob"], term_rows["pos_blob"]):
+                if term in ph_token_set and pblob is not None:
+                    tfs = varbyte_decode(bytes(tblob)).astype(np.int64)
+                    flat, bounds = decode_position_stream(bytes(pblob), tfs)
+                    plists[term] = (docsets[term], flat, bounds)
+            for k, toks, slop in ph_defs:
+                distinct = list(dict.fromkeys(toks))
+                if all(t in plists for t in distinct):
+                    d, _ = _phrase_seg_match(plists, distinct, toks, slop)
+                    ph_sets[k] = d
+                else:
+                    ph_sets[k] = nothing
+
+        def ev(n) -> np.ndarray:
+            if isinstance(n, (Term, Phrase)):
+                toks = tokenize_py(n.text)
+                if not toks:
+                    return nothing
+                if len(toks) == 1:
+                    return docsets.get(toks[0], nothing)
+                slop = n.slop if isinstance(n, Phrase) else 0
+                return ph_sets.get(phrase_key(toks, slop), nothing)
+            if isinstance(n, Wildcard):
+                return pat_sets[wildcard_key(n.text)]
+            if isinstance(n, Fuzzy):
+                return pat_sets[fuzzy_key(n.text, n.max_edits)]
+            if isinstance(n, MatchAll):
+                return universe
+            if isinstance(n, And):
+                r = ev(n.parts[0])
+                for p in n.parts[1:]:
+                    if r.size == 0:
+                        return r
+                    r = np.intersect1d(r, ev(p), assume_unique=True)
+                return r
+            if isinstance(n, Or):
+                rs = [ev(p) for p in n.parts]
+                rs = [r for r in rs if r.size]
+                return (np.unique(np.concatenate(rs)) if rs else nothing)
+            if isinstance(n, Not):
+                return np.setdiff1d(universe, ev(n.part),
+                                    assume_unique=True)
+            raise ValueError(f"non-text atom in matching_ids: {n!r}")
+
+        return pd.DataFrame({"doc_id": ev(node)})
+
+    return segs.groupBy("seg_id").applyInPandas(run, schema="doc_id long")
 
 
 def indexed_filter(

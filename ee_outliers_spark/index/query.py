@@ -229,6 +229,43 @@ def _sloppy_tf(plists: dict, phrase_terms: list[str], doc: int,
     return tf
 
 
+def _phrase_seg_match(plists: dict, distinct: list[str],
+                      phrase_terms: list[str], slop: int
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """(docs, tfs) of the phrase within ONE segment, from decoded positional
+    lists (term → (docs, flat_positions, bounds)). Shared by the scoring
+    path (_phrase_hits) and the postings-only boolean evaluator
+    (filter.matching_ids) — segments are doc-disjoint so per-segment
+    results union to the global answer."""
+    inter = plists[distinct[0]][0]
+    for t in distinct[1:]:
+        inter = np.intersect1d(inter, plists[t][0], assume_unique=True)
+    out_docs: list[int] = []
+    out_tfs: list[int] = []
+    for doc in inter:
+        if slop > 0:
+            tf = _sloppy_tf(plists, phrase_terms, int(doc), slop)
+            if tf:
+                out_docs.append(int(doc))
+                out_tfs.append(tf)
+            continue
+        cand = None
+        for j, t in enumerate(phrase_terms):
+            docs, flat, bounds = plists[t]
+            i = int(np.searchsorted(docs, doc))
+            lo = int(bounds[i - 1]) if i > 0 else 0
+            pos = flat[lo:int(bounds[i])] - j
+            cand = pos if cand is None else np.intersect1d(
+                cand, pos, assume_unique=True)
+            if cand.size == 0:
+                break
+        if cand is not None and cand.size:
+            out_docs.append(int(doc))
+            out_tfs.append(int(cand.size))
+    return (np.asarray(out_docs, dtype=np.int64),
+            np.asarray(out_tfs, dtype=np.int64))
+
+
 def _phrase_hits(spark: SparkSession, paths: IndexPaths,
                  phrase: str, slop: int = 0) -> DataFrame | None:
     """(doc_id, tf, dl) for every doc containing the phrase (optionally with
@@ -282,39 +319,12 @@ def _phrase_hits(spark: SparkSession, paths: IndexPaths,
             tfs = varbyte_decode(bytes(tblob)).astype(np.int64)
             flat, bounds = decode_position_stream(bytes(pblob), tfs)
             plists[term] = (docs, flat, bounds)
-        # candidate docs: contain every distinct term (sorted intersection)
-        inter = plists[distinct[0]][0]
-        for t in distinct[1:]:
-            inter = np.intersect1d(inter, plists[t][0], assume_unique=True)
-        if inter.size == 0:
+        d, tfs_arr = _phrase_seg_match(plists, distinct, phrase_terms, slop)
+        if d.size == 0:
             return empty
-        out_docs, out_tfs = [], []
-        for doc in inter:
-            if slop > 0:
-                tf = _sloppy_tf(plists, phrase_terms, int(doc), slop)
-                if tf:
-                    out_docs.append(int(doc))
-                    out_tfs.append(tf)
-                continue
-            cand = None
-            for j, t in enumerate(phrase_terms):
-                docs, flat, bounds = plists[t]
-                i = int(np.searchsorted(docs, doc))
-                lo = int(bounds[i - 1]) if i > 0 else 0
-                pos = flat[lo:int(bounds[i])] - j
-                cand = pos if cand is None else np.intersect1d(
-                    cand, pos, assume_unique=True)
-                if cand.size == 0:
-                    break
-            if cand is not None and cand.size:
-                out_docs.append(int(doc))
-                out_tfs.append(int(cand.size))
-        if not out_docs:
-            return empty
-        d = np.asarray(out_docs, dtype=np.int64)
         return pd.DataFrame({
             "doc_id": d,
-            "tf": np.asarray(out_tfs, dtype=np.int64),
+            "tf": tfs_arr,
             "dl": dl_vals[np.searchsorted(dl_docs, d)],
         })
 
@@ -344,16 +354,20 @@ def phrase_topk_wand(
         return spark.createDataFrame([], TOPK_SCHEMA)
     stats = load_stats(paths)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    # phrase df feeds idf as a broadcast COLUMN (one job, no cache/count —
-    # a zero-hit phrase yields an empty frame either way); see _text_scores
-    cnt = hits.agg(F.count("*").cast("double").alias("__pdf"))
-    idf_col = F.log(
-        1.0 + (F.lit(float(n_docs)) - F.col("__pdf") + 0.5)
-        / (F.col("__pdf") + 0.5))
-    scored = hits.crossJoin(F.broadcast(cnt)).select(
+    # one materialization (eager localCheckpoint — lineage truncated, blocks
+    # GC'd with the query's DataFrames), one tiny count over it, literal idf:
+    # a broadcast-join of the count would recompute the positional
+    # intersection (measured 4x slower at 600k), a bare cache would pin
+    # partitions until eviction
+    hits = hits.localCheckpoint(eager=True)
+    dfp = hits.count()
+    if dfp == 0:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    idf = _idf(n_docs, int(dfp))
+    scored = hits.select(
         "doc_id",
         (
-            idf_col * (F.col("tf") * (K1 + 1.0))
+            F.lit(idf) * (F.col("tf") * (K1 + 1.0))
             / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(float(avgdl))))
         ).alias("score"),
     )
@@ -540,14 +554,16 @@ def _text_scores(spark: SparkSession, paths: IndexPaths,
         contribs.append(
             post.join(F.broadcast(exp_stats), "term").select(
                 "doc_id", bm25(F.col("tf"), idf_col).alias("contrib")))
-    # phrase atoms: df (docs containing the phrase) is needed for idf, but a
-    # driver-side count per phrase costs one synchronized job each (P+1 jobs
-    # for a P-phrase query) and a cache() that outlives the query. Instead
-    # df stays a COLUMN: all phrase hits union into one tagged frame, a tiny
-    # groupBy counts per phrase, and a broadcast join feeds the count into
-    # the idf expression — ONE job, no cache, no driver sync. The broadcast
-    # subtree recomputes the phrase intersection once more, but both sides
-    # run inside the same job and the work is candidate-sized.
+    # phrase atoms: df (docs containing the phrase) is needed for idf. A
+    # driver-side count per phrase costs one synchronized job each (P+1
+    # jobs for P phrases), and a broadcast-join of the count recomputes the
+    # positional intersection (measured 4x slower at 600k). Instead ALL
+    # phrase hits union into one tagged frame materialized ONCE by an eager
+    # localCheckpoint (truncates lineage; blocks are freed when the query's
+    # DataFrames are GC'd — nothing pinned in the cache manager), then one
+    # tiny collect yields every phrase's df and the contribution uses
+    # literal idfs over the checkpointed rows: 2 jobs and 1x compute for
+    # any number of phrases.
     ph_parts = []
     ph_boosts: dict[int, float] = {}
     for i, (p, slop, boost) in enumerate(atoms["phrases"]):
@@ -560,16 +576,15 @@ def _text_scores(spark: SparkSession, paths: IndexPaths,
         tagged = ph_parts[0]
         for x in ph_parts[1:]:
             tagged = tagged.unionByName(x)
-        counts = tagged.groupBy("__pk").agg(
-            F.count("*").cast("double").alias("__pdf"))
-        boost_map = F.create_map(
-            *[F.lit(v) for i, b in ph_boosts.items() for v in (i, b)])
-        idf_col = F.log(
-            1.0 + (F.lit(float(n_docs)) - F.col("__pdf") + 0.5)
-            / (F.col("__pdf") + 0.5)) * boost_map[F.col("__pk")]
-        contribs.append(
-            tagged.join(F.broadcast(counts), "__pk").select(
-                "doc_id", bm25(F.col("tf"), idf_col).alias("contrib")))
+        tagged = tagged.localCheckpoint(eager=True)
+        dfs = {int(r["__pk"]): int(r["n"]) for r in
+               tagged.groupBy("__pk").agg(F.count("*").alias("n")).collect()}
+        idf_map = F.create_map(*[
+            F.lit(v) for i, n in dfs.items()
+            for v in (i, _idf(n_docs, n) * ph_boosts[i])])
+        contribs.append(tagged.select(
+            "doc_id",
+            bm25(F.col("tf"), idf_map[F.col("__pk")]).alias("contrib")))
     if not contribs:
         return None
     allc = contribs[0]

@@ -325,6 +325,18 @@ def test_vectorized_paths_match_wand_loop(spark, documents, tmp_path_factory):
             assert abs(gs - ws) < 1e-9, (terms, mode, gd, gs, ws)
 
 
+def test_auto_num_segments_budget(spark):
+    """Derived segment count follows the SPIMI memory budget: floor at the
+    core count, ~16k docs per segment above it, capped (beyond the cap a
+    corpus shards into multiple indexes)."""
+    from ee_outliers_spark.index.build import auto_num_segments
+
+    cores = spark.sparkContext.defaultParallelism
+    assert auto_num_segments(spark, 100) == cores
+    assert auto_num_segments(spark, 1_000_000) == max(cores, 62)
+    assert auto_num_segments(spark, 10**9) == 4096
+
+
 def test_or_segment_lazy_decode_skips_blocks():
     """_or_segment decompresses ONLY blocks of chunks visited before the
     θ-break: a head term spanning hundreds of blocks, disjoined with a rare
