@@ -117,7 +117,7 @@ def worker(out_path: str | None) -> None:
             "index_build",
             lambda: build_segments(
                 spark, docs, "doc_id", "text", idx_dir,
-                num_segments=cpus, resume=False,
+                num_segments=None, resume=False,
             ),
         )
         docs_per_sec = round(n_docs_total / timings["index_build"], 1)
@@ -136,7 +136,7 @@ def worker(out_path: str | None) -> None:
             "index_build_pos",
             lambda: build_segments(
                 spark, docs, "doc_id", "text", pos_dir,
-                num_segments=cpus, resume=False, positions=True,
+                num_segments=None, resume=False, positions=True,
             ),
         )
         timed_with_latency("wand_phrase", lambda: phrase_topk_wand(
@@ -249,7 +249,7 @@ def worker(out_path: str | None) -> None:
         try:
             bpaths = btimed("index_build", lambda: build_segments(
                 spark, big, "doc_id", "text", big_dir,
-                num_segments=cpus * 4, resume=False))
+                num_segments=None, resume=False))
             for name, (terms, k, mode) in WAND_QUERIES.items():
                 btimed(name, lambda t=terms, k=k, m=mode: bm25_topk_wand(
                     spark, bpaths, t, k, m).collect(), reps=LAT_REPS)
@@ -262,7 +262,7 @@ def worker(out_path: str | None) -> None:
         try:
             bpos = btimed("index_build_pos", lambda: build_segments(
                 spark, big, "doc_id", "text", big_pos_dir,
-                num_segments=cpus * 4, resume=False, positions=True))
+                num_segments=None, resume=False, positions=True))
             btimed("wand_phrase", lambda: phrase_topk_wand(
                 spark, bpos, "key order", 10).collect(), reps=LAT_REPS)
             from ee_outliers_spark.index.query import querystring_topk

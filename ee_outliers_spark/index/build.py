@@ -428,15 +428,22 @@ def auto_num_segments(spark: SparkSession, n_docs: int,
     (term, doc, tf[, poss]) frame: web-scale docs average a few hundred
     distinct (term, doc) pairs at ~40 B each, so ``docs_per_segment``=16k
     keeps a task's frame in the low hundreds of MB — comfortably inside an
-    executor core's share even with the pandas/Arrow copy. The floor is the
-    cluster's parallelism (every core builds, one wave when the corpus is
-    small); the cap bounds the partition-directory count for one index —
-    a corpus that would exceed it (≫10^8 docs) should shard into multiple
-    indexes (by day/tenant), which the day-partitioned layout already does.
+    executor core's share even with the pandas/Arrow copy. A corpus that
+    fits one wave gets exactly one segment per core; past that the count
+    rounds UP to ≥2 waves (2× parallelism) — measured on the 600k bench
+    corpus, 37 segments on 32 cores (1.16 waves) made conjunction queries
+    2× slower than 128 (straggler tail of a fractional second wave), while
+    ≥2 full waves smooth it. The budget itself is an upper bound on segment
+    SIZE, so rounding the count up is always memory-safe. The cap bounds
+    the partition-directory count for one index — a corpus that would
+    exceed it (≫10^8 docs) should shard into multiple indexes (by
+    day/tenant), which the day-partitioned layout already does.
     """
     cores = spark.sparkContext.defaultParallelism
     need = math.ceil(max(1, n_docs) / docs_per_segment)
-    return max(cores, min(cap, need)) if need > cores else cores
+    if need <= cores:
+        return cores
+    return min(cap, max(need, 2 * cores))
 
 
 def build_segments(
