@@ -400,6 +400,8 @@ def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
     from .codec import decode_position_stream
     from .query import _phrase_seg_match
 
+    from ..queryparser import MatchAll as _MatchAll
+
     positional = bool(load_stats(paths).get("positions"))
     terms = single_token_terms(node)
     pattern_preds = pattern_atoms(node)          # scan-pushdown Columns
@@ -409,12 +411,29 @@ def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
                         for t in tokenize_py(text)})
     need_terms = sorted(set(terms) | set(ph_tokens))
 
-    combined = F.col("term").isNull()            # sidecar = universe
+    def _has_universe_atom(n) -> bool:
+        if isinstance(n, (Not, _MatchAll)):
+            return True
+        if isinstance(n, (And, Or)):
+            return any(_has_universe_atom(p) for p in n.parts)
+        return False
+
+    # the doclen sidecar (the segment's doc universe) is needed only for
+    # NOT / match-all — a positive-only boolean skips shipping and decoding
+    # it (at a 10^7-doc segment that row is the largest blob in the scan)
+    needs_universe = _has_universe_atom(node)
+    combined = None
+    if needs_universe:
+        combined = F.col("term").isNull()
     if need_terms:
-        combined = combined | F.col("term").isin(need_terms)
+        t_pred = F.col("term").isin(need_terms)
+        combined = t_pred if combined is None else combined | t_pred
     for _, p in pattern_preds:
         if p is not None:
-            combined = combined | p
+            combined = p if combined is None else combined | p
+    if combined is None:
+        # no atoms at all and no universe need: nothing can match
+        return spark.createDataFrame([], "doc_id long")
     cols = ["seg_id", "term", "doc_blob"]
     if phrases:
         cols += ["tf_blob", "pos_blob"]
@@ -425,12 +444,14 @@ def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         empty_pdf = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
-        dl_rows = pdf[pdf["term"].isna()]
-        if dl_rows.empty:
-            return empty_pdf
-        universe = np.cumsum(
-            varbyte_decode(bytes(dl_rows["doc_blob"].iloc[0]))
-        ).astype(np.int64)
+        universe = np.empty(0, dtype=np.int64)
+        if needs_universe:
+            dl_rows = pdf[pdf["term"].isna()]
+            if dl_rows.empty:
+                return empty_pdf
+            universe = np.cumsum(
+                varbyte_decode(bytes(dl_rows["doc_blob"].iloc[0]))
+            ).astype(np.int64)
         term_rows = pdf[pdf["term"].notna()]
         docsets: dict[str, np.ndarray] = {}
         for term, dblob in zip(term_rows["term"], term_rows["doc_blob"]):

@@ -219,6 +219,16 @@ def test_matching_ids_postings_only(spark, documents, pos_paths):
     for qs in ["window AND lang:en", "n_chars:[10 TO 200]",
                "_exists_:source"]:
         assert not text_only(parse_query_string(qs), positional=True), qs
+    # the doclen-sidecar universe ships only when NOT/match-all needs it —
+    # a positive-only boolean's scan filter has no isnull(term) leg
+    pos_plan = matching_ids(
+        spark, pos_paths, parse_query_string("window AND cust*")
+    )._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "isnull(term" not in pos_plan
+    neg_plan = matching_ids(
+        spark, pos_paths, parse_query_string("NOT window")
+    )._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "isnull(term" in neg_plan
 
 
 def test_text_only_filter_never_reads_corpus_text(spark, sf_dir, pos_paths):
