@@ -89,6 +89,18 @@ sections.append((
     indexed_filter(spark, paths, docs, "doc_id", "text", wnode,
                    ["doc_id", "text", "lang", "source", "n_chars"]),
 ))
+from ee_outliers_spark.index.filter import matching_ids  # noqa: E402
+
+tnode = parse_query_string('window AND (cust* OR batch) AND NOT "batch batch"')
+sections.append((
+    "Postings-only boolean (matching_ids — round 4)",
+    "a text-only boolean never touches the documents table: ONE segment "
+    "scan (term-IN + dictionary predicates + the NULL sidecar row pushed "
+    "to parquet), per-segment numpy set algebra inside applyInPandas "
+    "(And/Or/Not = intersect/union/setdiff vs the doclen universe), union "
+    "of per-segment id arrays — zero doc-keyed exchange in the whole plan",
+    matching_ids(spark, paths, tnode),
+))
 from ee_outliers_spark.index.query import search_topk  # noqa: E402
 
 sections.append((
