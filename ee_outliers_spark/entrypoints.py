@@ -1225,6 +1225,68 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
     return out.select("id1", "id2").orderBy("id1", "id2")
 
 
+# --- eval-set decontamination (k-gram collision; GPT-3/PaLM leakage rule) ----
+
+_DECON_K = 4       # published rule uses 13-grams; synthetic docs are short
+_DECON_MOD = 17    # eval set = doc_id % 17 == 0 (benchmark-sized slice)
+
+_DECON_GRAMS_CTE = f"""
+toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+{_DECON_K - 1}], ' ')
+         for i in generate_series(1, len(t) - {_DECON_K - 1})])) AS g
+  FROM toks WHERE len(t) >= {_DECON_K}
+),
+tr AS (SELECT * FROM grams WHERE doc_id % {_DECON_MOD} != 0),
+ev AS (SELECT * FROM grams WHERE doc_id % {_DECON_MOD} = 0),
+hits AS (
+  SELECT DISTINCT tr.doc_id AS train_id, ev.doc_id AS eval_id
+  FROM tr JOIN ev USING (g)
+)"""
+
+
+@register(
+    "decontam_ngram_pairs",
+    f"WITH {_DECON_GRAMS_CTE} "
+    f"SELECT train_id, eval_id FROM hits ORDER BY train_id, eval_id",
+)
+def decontam_ngram_pairs_q(spark, sf_dir):
+    """Training-data decontamination: (train, eval) k-gram collision pairs.
+    The eval side broadcasts; the corpus side streams through the join."""
+    from .operators.dedup import ngram_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % _DECON_MOD != 0)
+    ev = docs.where(F.col("doc_id") % _DECON_MOD == 0)
+    return (
+        ngram_contamination(train, ev, "doc_id", "text", "doc_id", "text",
+                            k=_DECON_K)
+        .orderBy("train_id", "eval_id")
+    )
+
+
+@register(
+    "decontam_clean_train",
+    f"WITH {_DECON_GRAMS_CTE} "
+    f"SELECT doc_id FROM documents WHERE doc_id % {_DECON_MOD} != 0 "
+    f"AND doc_id NOT IN (SELECT train_id FROM hits) ORDER BY doc_id",
+)
+def decontam_clean_train_q(spark, sf_dir):
+    """The full decontamination pipeline: training docs surviving the
+    k-gram collision anti-join against the eval set."""
+    from .operators.dedup import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % _DECON_MOD != 0)
+    ev = docs.where(F.col("doc_id") % _DECON_MOD == 0)
+    return (
+        decontaminate(train, ev, "doc_id", "text", "doc_id", "text",
+                      k=_DECON_K)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _minhash_ctes(k: int = 3, num_perm: int = 64, bands: int = 16,
                   threshold: float = 0.5, seed: int = 42) -> str:
     """DuckDB twin of the full MinHash-LSH pipeline as a CTE chain ending

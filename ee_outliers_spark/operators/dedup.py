@@ -512,3 +512,57 @@ def drop_duplicates_by_clusters(
     losers = (clusters.where(F.col("id") != F.col("cluster_id"))
               .select(F.col("id").alias("__loser")))
     return df.join(losers, df[id_col] == F.col("__loser"), "left_anti")
+
+
+# --- eval-set decontamination (k-gram collision) ------------------------------
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    train_id: str,
+    train_text: str,
+    eval_id: str,
+    eval_text: str,
+    k: int = 13,
+) -> DataFrame:
+    """(train_id, eval_id) pairs sharing at least one token k-gram — the
+    training-data DECONTAMINATION primitive (the GPT-3/PaLM eval-leakage
+    rule: flag/drop training docs that collide with a benchmark document on
+    any k-gram; k=13 is the published choice, small corpora use smaller k).
+
+    Scale shape: the eval side is benchmark-sized (thousands of docs) — its
+    exploded k-gram set is broadcast, so the train side's k-grams stream
+    through a broadcast-hash join with NO shuffle of the corpus: one narrow
+    pass at 100 TB. Both sides reuse the Arrow-batched shingle kernel
+    (array HOFs re-evaluate the tokenizer per element — see
+    shingles_from_tokens)."""
+    t = _shingle_rows(train, train_id, train_text, k).withColumnRenamed(
+        "_id", "train_id")
+    e = _shingle_rows(eval_df, eval_id, eval_text, k).withColumnRenamed(
+        "_id", "eval_id")
+    return (
+        t.join(F.broadcast(e), "g")
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    train_id: str,
+    train_text: str,
+    eval_id: str,
+    eval_text: str,
+    k: int = 13,
+) -> DataFrame:
+    """train minus every doc colliding with the eval set on any k-gram
+    (left-anti join against the contamination pairs — the join key set is
+    contaminated-doc-sized, far below corpus-sized)."""
+    bad = (
+        ngram_contamination(train, eval_df, train_id, train_text,
+                            eval_id, eval_text, k)
+        .select(F.col("train_id").alias("__bad_id")).distinct()
+    )
+    return train.join(
+        bad, train[train_id] == F.col("__bad_id"), "left_anti")

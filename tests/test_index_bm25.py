@@ -231,6 +231,36 @@ def test_matching_ids_postings_only(spark, documents, pos_paths):
     assert "isnull(term" in neg_plan
 
 
+def test_matching_ids_agrees_on_full_query_corpus(spark, documents,
+                                                  pos_paths):
+    """4th-backend agreement: every TEXT-ONLY query in the parser test
+    corpus (tests/test_queryparser.QUERIES — terms, phrases, slop,
+    wildcards, fuzzy, negation, match-all, groups) produces the same doc
+    set from the postings-only evaluator as from the Spark predicate
+    compilation over raw text."""
+    from test_queryparser import QUERIES
+
+    from ee_outliers_spark.index.filter import matching_ids, text_only
+    from ee_outliers_spark.queryparser import (
+        parse_query_string, to_spark_predicate,
+    )
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    covered = 0
+    for q in QUERIES:
+        node = parse_query_string(q)
+        if not text_only(node, positional=True):
+            continue
+        covered += 1
+        want = sorted(r["doc_id"] for r in documents.where(
+            to_spark_predicate(node, "text", cols)
+        ).select("doc_id").collect())
+        got = sorted(r["doc_id"] for r in
+                     matching_ids(spark, pos_paths, node).collect())
+        assert got == want, q
+    assert covered >= 12  # the corpus carries a real text-only spread
+
+
 def test_text_only_filter_never_reads_corpus_text(spark, sf_dir, pos_paths):
     """indexed_filter on a text-only boolean collapses to matching_ids + a
     left-semi join: the docs-side parquet scan reads ONLY the join key

@@ -215,6 +215,52 @@ def test_lsh_ann_recall_on_clustered_corpus(spark, tmp_path):
     assert n_cand * 4 <= len(rows), (n_cand, len(rows))
 
 
+def test_decontamination_pairs_and_anti_join(spark):
+    """k-gram eval-leakage decontamination: collision pairs equal the
+    brute-force python computation, the clean set is train minus flagged,
+    and the eval side broadcasts (the 100 TB contract: no corpus shuffle)."""
+    from ee_outliers_spark.operators.dedup import (
+        decontaminate, ngram_contamination,
+    )
+    from ee_outliers_spark.tokenizer import tokenize_py
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a completely different training document body"),
+        (3, "quick brown fox jumps high above everything"),
+        (4, "nothing shared here at all frankly"),
+        (100, "the quick brown fox jumps far"),       # eval
+        (101, "unique benchmark question text only"),  # eval
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    train = df.where(df.doc_id < 100)
+    ev = df.where(df.doc_id >= 100)
+    k = 4
+
+    def grams(s):
+        t = tokenize_py(s)
+        return {" ".join(t[i:i + k]) for i in range(len(t) - k + 1)}
+
+    want = sorted(
+        (tid, eid)
+        for tid, tt in rows if tid < 100
+        for eid, et in rows if eid >= 100
+        if grams(tt) & grams(et)
+    )
+    pairs = ngram_contamination(train, ev, "doc_id", "text",
+                                "doc_id", "text", k=k)
+    got = sorted((int(r["train_id"]), int(r["eval_id"]))
+                 for r in pairs.collect())
+    assert got == want and got  # docs 1 and 3 collide with 100
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    clean = decontaminate(train, ev, "doc_id", "text", "doc_id", "text",
+                          k=k)
+    flagged = {t for t, _ in got}
+    assert sorted(int(r["doc_id"]) for r in clean.collect()) == sorted(
+        i for i, _ in rows if i < 100 and i not in flagged)
+
+
 def test_ivf_ann_recall_curve_with_kmeans_quantizer(spark, tmp_path):
     """IVF recall@10 vs brute force across nprobe on a clustered corpus
     (round-3 verdict item: the exact-twin gate proves plumbing, not recall).
