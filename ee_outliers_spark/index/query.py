@@ -229,6 +229,26 @@ def _sloppy_tf(plists: dict, phrase_terms: list[str], doc: int,
     return tf
 
 
+def _ragged_gather(flat: np.ndarray, bounds: np.ndarray,
+                   docs_t: np.ndarray, cand: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated position slices of ``cand`` docs (values) plus the
+    per-element candidate INDEX (0..len(cand)-1) — one vectorized gather,
+    no per-doc loop."""
+    idx = np.searchsorted(docs_t, cand)
+    hi = bounds[idx]
+    lo = np.where(idx > 0, bounds[idx - 1], 0)
+    counts = (hi - lo).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    shift = np.repeat(lo - np.concatenate(
+        ([0], np.cumsum(counts)[:-1])), counts)
+    vals = flat[np.arange(total, dtype=np.int64) + shift]
+    owner = np.repeat(np.arange(len(cand), dtype=np.int64), counts)
+    return vals.astype(np.int64), owner
+
+
 def _phrase_seg_match(plists: dict, distinct: list[str],
                       phrase_terms: list[str], slop: int
                       ) -> tuple[np.ndarray, np.ndarray]:
@@ -236,34 +256,78 @@ def _phrase_seg_match(plists: dict, distinct: list[str],
     lists (term → (docs, flat_positions, bounds)). Shared by the scoring
     path (_phrase_hits) and the postings-only boolean evaluator
     (filter.matching_ids) — segments are doc-disjoint so per-segment
-    results union to the global answer."""
+    results union to the global answer.
+
+    Vectorized across ALL candidate docs at once: per-term adjusted
+    positions are gathered into one array per term with each position
+    offset by candidate_index × OFFSET (OFFSET > any in-doc position +
+    slop, so values from different docs can never satisfy a window or an
+    equality together). Exact phrases then reduce to an m-way sorted-array
+    intersection; sloppy phrases to a vectorized window-coverage check over
+    the union of starts. The per-doc Python loop survives ONLY for sloppy
+    phrases with REPEATED terms (distinct-position assignment is a greedy
+    matching — rare in practice)."""
     inter = plists[distinct[0]][0]
     for t in distinct[1:]:
         inter = np.intersect1d(inter, plists[t][0], assume_unique=True)
-    out_docs: list[int] = []
-    out_tfs: list[int] = []
-    for doc in inter:
-        if slop > 0:
+    if inter.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+
+    if slop > 0 and len(distinct) != len(phrase_terms):
+        # repeated terms under slop: greedy distinct-position matching per
+        # doc (exact semantics, see _sloppy_tf) — vectorization fallback
+        out_docs: list[int] = []
+        out_tfs: list[int] = []
+        for doc in inter:
             tf = _sloppy_tf(plists, phrase_terms, int(doc), slop)
             if tf:
                 out_docs.append(int(doc))
                 out_tfs.append(tf)
-            continue
-        cand = None
-        for j, t in enumerate(phrase_terms):
-            docs, flat, bounds = plists[t]
-            i = int(np.searchsorted(docs, doc))
-            lo = int(bounds[i - 1]) if i > 0 else 0
-            pos = flat[lo:int(bounds[i])] - j
-            cand = pos if cand is None else np.intersect1d(
-                cand, pos, assume_unique=True)
+        return (np.asarray(out_docs, dtype=np.int64),
+                np.asarray(out_tfs, dtype=np.int64))
+
+    max_pos = max(int(plists[t][1].max()) if plists[t][1].size else 0
+                  for t in distinct)
+    off = np.int64(max_pos + slop + len(phrase_terms) + 2)
+
+    adj: list[np.ndarray] = []
+    for j, t in enumerate(phrase_terms):
+        docs_t, flat, bounds = plists[t]
+        vals, owner = _ragged_gather(flat, bounds, docs_t, inter)
+        # positions ascend within a doc and owner blocks ascend, so each
+        # adjusted array is globally sorted and unique as-built (repeated
+        # phrase terms get DIFFERENT j-shifts of the same list — still
+        # valid: an exact-phrase start needs the term at j distinct doc
+        # positions, which distinct j-shifts encode). The constant
+        # +len(phrase_terms) shift keeps adjusted values NON-NEGATIVE
+        # (pos - j can reach -j), so `// off` attributes every value to its
+        # own doc block — relations are invariant under a constant shift.
+        adj.append(vals - j + len(phrase_terms) + owner * off)
+    if slop == 0:
+        cand = adj[0]
+        for a in adj[1:]:
             if cand.size == 0:
                 break
-        if cand is not None and cand.size:
-            out_docs.append(int(doc))
-            out_tfs.append(int(cand.size))
-    return (np.asarray(out_docs, dtype=np.int64),
-            np.asarray(out_tfs, dtype=np.int64))
+            cand = np.intersect1d(cand, a, assume_unique=True)
+        if cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        owner_idx = cand // off
+    else:
+        starts = np.unique(np.concatenate(adj))
+        ok = np.ones(starts.size, dtype=bool)
+        for a in adj:
+            i = np.searchsorted(a, starts, side="left")
+            has = i < a.size
+            has[has] &= a[i[has]] <= starts[has] + slop
+            # off > max_pos + slop ⇒ a window can never reach into the
+            # next candidate's block, so same-doc is implied
+            ok &= has
+        starts = starts[ok]
+        if starts.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        owner_idx = starts // off
+    uniq, tfs = np.unique(owner_idx, return_counts=True)
+    return inter[uniq], tfs.astype(np.int64)
 
 
 def _phrase_hits(spark: SparkSession, paths: IndexPaths,
