@@ -365,6 +365,70 @@ def test_vectorized_paths_match_wand_loop(spark, documents, tmp_path_factory):
             assert abs(gs - ws) < 1e-9, (terms, mode, gd, gs, ws)
 
 
+def test_phrase_seg_match_vectorized_vs_perdoc(docs_dict):
+    """The vectorized cross-doc phrase kernel equals the per-doc reference
+    (_sloppy_tf / position intersection) for exact and sloppy phrases, both
+    term orders, slop 0-5 — including the start at adjusted position -j
+    whose owner attribution needs the +m shift (the bug this harness
+    caught: doc-block // OFFSET went to the previous doc for negative
+    in-block values)."""
+    import numpy as np
+
+    from ee_outliers_spark.index.query import _phrase_seg_match, _sloppy_tf
+    from ee_outliers_spark.tokenizer import tokenize_py
+
+    toks = {d: tokenize_py(t) for d, t in docs_dict.items()}
+
+    def build_plists(terms):
+        plists = {}
+        for term in terms:
+            ds, flats, bounds = [], [], []
+            cum = 0
+            for d in sorted(toks):
+                pos = [i for i, tk in enumerate(toks[d]) if tk == term]
+                if pos:
+                    ds.append(d)
+                    flats.extend(pos)
+                    cum += len(pos)
+                    bounds.append(cum)
+            plists[term] = (np.array(ds, np.int64),
+                            np.array(flats, np.int64),
+                            np.array(bounds, np.int64))
+        return plists
+
+    cases = [(["key", "order"], s) for s in (0, 1, 2, 5)] + [
+        (["order", "key"], s) for s in (0, 1, 2)] + [
+        (["the", "key", "order"], 0), (["the", "key", "order"], 3)]
+    any_hits = 0
+    for phrase, slop in cases:
+        distinct = list(dict.fromkeys(phrase))
+        pl = build_plists(distinct)
+        got_d, got_t = _phrase_seg_match(pl, distinct, phrase, slop)
+        got = dict(zip(got_d.tolist(), got_t.tolist()))
+        inter = pl[distinct[0]][0]
+        for p in distinct[1:]:
+            inter = np.intersect1d(inter, pl[p][0], assume_unique=True)
+        want = {}
+        for d in inter:
+            if slop > 0:
+                tf = _sloppy_tf(pl, phrase, int(d), slop)
+            else:
+                cand = None
+                for j, p in enumerate(phrase):
+                    dd, fl, bb = pl[p]
+                    i = int(np.searchsorted(dd, d))
+                    lo = int(bb[i - 1]) if i > 0 else 0
+                    pos = fl[lo:int(bb[i])] - j
+                    cand = pos if cand is None else np.intersect1d(
+                        cand, pos, assume_unique=True)
+                tf = int(cand.size)
+            if tf:
+                want[int(d)] = tf
+        assert got == want, (phrase, slop)
+        any_hits += len(got)
+    assert any_hits > 0
+
+
 def test_auto_num_segments_budget(spark):
     """Derived segment count follows the SPIMI memory budget: floor at the
     core count, ~16k docs per segment above it, capped (beyond the cap a
