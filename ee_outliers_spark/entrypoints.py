@@ -2145,6 +2145,46 @@ ORDER BY doc_id
 """
 
 
+@register(
+    "repetition_profile",
+    f"""
+WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+bg AS (
+  SELECT doc_id, t,
+         [array_to_string(t[i:i+1], ' ')
+          for i in generate_series(1, len(t) - 1)] AS b
+  FROM toks
+),
+topbg AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest(b) AS g FROM bg)
+    GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT bg.doc_id,
+  CAST(CASE WHEN len(t) = 0 THEN 0
+       ELSE (1000 * (len(t) - len(list_distinct(t)))) // len(t)
+       END AS BIGINT) AS dup_token_pm,
+  CAST(CASE WHEN len(b) = 0 THEN 0
+       ELSE (1000 * (len(b) - len(list_distinct(b)))) // len(b)
+       END AS BIGINT) AS dup_bigram_pm,
+  CAST(CASE WHEN len(b) = 0 THEN 0
+       ELSE (1000 * coalesce(topc, 0)) // len(b)
+       END AS BIGINT) AS top_bigram_pm
+FROM bg LEFT JOIN topbg ON bg.doc_id = topbg.doc_id
+ORDER BY bg.doc_id
+""",
+)
+def repetition_profile_q(spark, sf_dir):
+    """Gopher repetition quality signals per doc (integer per-mille — see
+    operators/textstats.repetition_profile)."""
+    from .operators.textstats import repetition_profile
+
+    return repetition_profile(
+        load(spark, sf_dir, "documents"), "doc_id", "text").orderBy("doc_id")
+
+
 @register("text_profile", _text_profile_sql())
 def text_profile_q(spark, sf_dir):
     from .operators.textstats import text_profile

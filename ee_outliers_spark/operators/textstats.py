@@ -8,6 +8,7 @@ SQL twin in entrypoints.py for the correctness gate.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -155,4 +156,57 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         langid_col(text_col).alias("lang_pred"),
         quality_score_col(text_col).alias("quality"),
         fingerprint_col(text_col).alias("fingerprint"),
+    )
+
+
+def repetition_profile(df: DataFrame, id_col: str, text_col: str
+                       ) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    'Scaling Language Models' §A1.1 repetition filters — the published
+    quality rules LLM pipelines apply before training), token-level:
+
+      dup_token_pm  — (tokens − distinct tokens) / tokens
+      dup_bigram_pm — (bigram occurrences − distinct bigrams) / occurrences
+      top_bigram_pm — occurrences of the most frequent bigram / occurrences
+
+    all reported PER-MILLE as integers via integer floor division, so the
+    DuckDB twin hashes identically (float ratios round differently across
+    engines at exact boundaries). One Arrow-batched pass per doc — per-doc
+    metrics are embarrassingly parallel: the 100 TB plan is a narrow map
+    with column pruning, zero shuffle. (A pandas UDF, not array HOFs:
+    lambda HOFs re-evaluate the tokenizer per element — see
+    dedup.shingles_from_tokens.)"""
+
+    @F.pandas_udf(
+        "struct<dup_token_pm: long, dup_bigram_pm: long, top_bigram_pm: long>")
+    def rep(texts: pd.Series) -> pd.DataFrame:
+        import re
+        from collections import Counter
+
+        dt, db, tb = [], [], []
+        for s in texts:
+            toks = [] if s is None else re.findall("[a-z0-9]+", s.lower())
+            n = len(toks)
+            dt.append(0 if n == 0 else (1000 * (n - len(set(toks)))) // n)
+            bgs = list(zip(toks, toks[1:]))
+            occ = len(bgs)
+            if occ == 0:
+                db.append(0)
+                tb.append(0)
+            else:
+                c = Counter(bgs)
+                db.append((1000 * (occ - len(c))) // occ)
+                tb.append((1000 * max(c.values())) // occ)
+        return pd.DataFrame({
+            "dup_token_pm": pd.Series(dt, dtype="int64"),
+            "dup_bigram_pm": pd.Series(db, dtype="int64"),
+            "top_bigram_pm": pd.Series(tb, dtype="int64"),
+        })
+
+    r = df.select(F.col(id_col), rep(F.col(text_col)).alias("_r"))
+    return r.select(
+        id_col,
+        F.col("_r.dup_token_pm").alias("dup_token_pm"),
+        F.col("_r.dup_bigram_pm").alias("dup_bigram_pm"),
+        F.col("_r.top_bigram_pm").alias("top_bigram_pm"),
     )
