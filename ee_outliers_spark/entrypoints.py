@@ -469,6 +469,19 @@ def _filter_gate(qs: str):
     return run
 
 
+# Lucene regexp atoms (round 4): `/pattern/` = token-level RegexpQuery,
+# `field:/pattern/` = keyword-value regexp; both resolve index-backed
+# (dictionary-predicate segment scan / plain column predicate). The first
+# gate is TEXT-ONLY, so it exercises Regexp atoms (incl. a negated one)
+# through the per-segment set-algebra path.
+_REGEX_QS = "/cust[oe]mer/ AND window AND NOT /ba(tch|re)/"
+_FIELD_REGEX_QS = "source:/src[0-9]/ AND /wind.w/"
+
+Q["regexp_filter"] = _filter_gate(_REGEX_QS)
+O["regexp_filter"] = _qs_sql(_REGEX_QS)
+Q["field_regexp_filter"] = _filter_gate(_FIELD_REGEX_QS)
+O["field_regexp_filter"] = _qs_sql(_FIELD_REGEX_QS)
+
 Q["wildcard_filter"] = _filter_gate(_WILD_QS)
 O["wildcard_filter"] = _qs_sql(_WILD_QS)
 Q["fuzzy_filter"] = _filter_gate(_FUZZ_QS)
@@ -520,6 +533,26 @@ def wildcard_topk(spark, sf_dir):
     ensure_py_files(spark)
     paths = corpus_index(spark, sf_dir)
     top = querystring_topk(spark, paths, "cust* window", 20)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+@register("regexp_topk", _wildcard_topk_sql("cust[oe]mer", "window", 20))
+def regexp_topk(spark, sf_dir):
+    """`/cust[oe]mer/ window` ranked: the regexp expands against the term
+    dictionary exactly like a wildcard (Lucene RegexpQuery scoring_boolean
+    rewrite — rlike on the dictionary scan), every expanded term its own
+    BM25 clause; the SQL oracle reuses the wildcard expansion twin with
+    the regexp body."""
+    from . import ensure_py_files
+    from .index.query import querystring_topk
+
+    ensure_py_files(spark)
+    paths = corpus_index(spark, sf_dir)
+    top = querystring_topk(spark, paths, "/cust[oe]mer/ window", 20)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.select(
         F.col("doc_id").cast("long").alias("doc_id"),

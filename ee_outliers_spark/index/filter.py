@@ -29,8 +29,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queryparser import (
-    And, Fuzzy, Not, Or, Phrase, Term, Wildcard, fuzzy_key, phrase_key,
-    to_spark_predicate, wildcard_key,
+    And, Fuzzy, Not, Or, Phrase, Regexp, Term, Wildcard, fuzzy_key,
+    phrase_key, regexp_key, to_spark_predicate, wildcard_key,
 )
 from ..tokenizer import tokenize_py
 from .build import IndexPaths, read_live_segments
@@ -85,16 +85,19 @@ def multi_token_phrases(node) -> list[tuple[str, str, int]]:
 
 
 def pattern_atoms(node) -> list[tuple[str, Column | None]]:
-    """Distinct (marker key, dictionary predicate) for Wildcard and Fuzzy
-    atoms. A None predicate means the atom can never match a token (its
-    marker stays empty → False)."""
-    from .query import fuzzy_term_pred, wildcard_term_pred
+    """Distinct (marker key, dictionary predicate) for Wildcard / Fuzzy /
+    Regexp atoms. A None predicate means the atom can never match a token
+    (its marker stays empty → False)."""
+    from .query import fuzzy_term_pred, regexp_term_pred, wildcard_term_pred
 
     out: dict[str, Column | None] = {}
 
     def walk(n):
         if isinstance(n, Wildcard):
             out.setdefault(wildcard_key(n.text), wildcard_term_pred(n.text))
+        elif isinstance(n, Regexp):
+            out.setdefault(regexp_key(n.pattern),
+                           regexp_term_pred(n.pattern))
         elif isinstance(n, Fuzzy):
             toks = tokenize_py(n.text)
             k = fuzzy_key(n.text, n.max_edits)
@@ -308,6 +311,8 @@ def required_atoms_union(node) -> list[tuple[str, str]] | None:
         return [("pat", wildcard_key(node.text))]
     if isinstance(node, Fuzzy):
         return [("pat", fuzzy_key(node.text, node.max_edits))]
+    if isinstance(node, Regexp):
+        return [("pat", regexp_key(node.pattern))]
     if isinstance(node, And):
         # any single conjunct's guarantee covers the conjunction; prefer the
         # smallest guarantee set (most selective pre-filter)
@@ -339,7 +344,7 @@ def text_only(node, positional: bool) -> bool:
         if isinstance(n, (Term, Phrase)):
             toks = tokenize_py(n.text)
             return len(toks) <= 1 or positional
-        if isinstance(n, (Wildcard, Fuzzy, MatchAll)):
+        if isinstance(n, (Wildcard, Fuzzy, Regexp, MatchAll)):
             return True
         if isinstance(n, (And, Or)):
             return all(walk(p) for p in n.parts)
@@ -364,6 +369,10 @@ def _pattern_specs(node) -> dict[str, tuple | None]:
                 body = wildcard_token_body(n.text)
                 out[wildcard_key(n.text)] = (
                     None if body is None else ("re", f"({body})"))
+        elif isinstance(n, Regexp):
+            from ..queryparser import regexp_token_body
+            out.setdefault(regexp_key(n.pattern),
+                           ("re", f"(?:{regexp_token_body(n.pattern)})"))
         elif isinstance(n, Fuzzy):
             toks = tokenize_py(n.text)
             k = fuzzy_key(n.text, n.max_edits)
@@ -509,6 +518,8 @@ def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
                 return ph_sets.get(phrase_key(toks, slop), nothing)
             if isinstance(n, Wildcard):
                 return pat_sets[wildcard_key(n.text)]
+            if isinstance(n, Regexp):
+                return pat_sets[regexp_key(n.pattern)]
             if isinstance(n, Fuzzy):
                 return pat_sets[fuzzy_key(n.text, n.max_edits)]
             if isinstance(n, MatchAll):

@@ -519,6 +519,16 @@ def wildcard_term_pred(pattern: str) -> Column | None:
     return F.col("term").rlike(f"^({body})$")
 
 
+def regexp_term_pred(pattern: str) -> Column:
+    """Dictionary predicate for a `/regexp/` atom: the (validated, common
+    Java/RE2/Python dialect) pattern fullmatches a dictionary term —
+    Lucene RegexpQuery's automaton intersection as a distributed
+    dictionary scan."""
+    from ..queryparser import regexp_token_body
+
+    return F.col("term").rlike(f"^(?:{regexp_token_body(pattern)})$")
+
+
 def fuzzy_term_pred(token: str, max_edits: int) -> Column:
     """Dictionary predicate for a fuzzy atom: classic Levenshtein bound,
     with a cheap length-band prefilter so the JVM edit-distance only runs
@@ -596,6 +606,8 @@ def _text_scores(spark: SparkSession, paths: IndexPaths,
         pred = wildcard_term_pred(w)
         if pred is not None:
             legs.append((pred, F.lit(float(b))))
+    for p, b in atoms.get("regexps", []):
+        legs.append((regexp_term_pred(p), F.lit(float(b))))
     for t, n, b in atoms["fuzzies"]:
         legs.append((fuzzy_term_pred(t, n), F.lit(float(b))))
     if legs:

@@ -72,6 +72,28 @@ class Wildcard:
 
 
 @dataclass
+class Regexp:
+    """`/pattern/` — single-token regexp over the analyzed text (Lucene
+    RegexpQuery through query_string, shipped verbatim to ES by the
+    reference): matches a doc containing a token that FULLY matches the
+    pattern (Lucene regexps are implicitly anchored). Only the regex
+    subset common to Java / RE2 / Python runs identically in all three
+    backends — character classes, ., *, +, ?, {m,n}, | and grouping;
+    anything else (anchors, backslash escapes, Lucene's ~ complement /
+    <> intervals) raises at parse (see ``regexp_token_body``)."""
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass
+class FieldRegexp:
+    """`field:/pattern/` — anchored regexp on a keyword field value
+    (whole-value match, `.keyword` semantics like FieldEq)."""
+    field: str
+    pattern: str
+
+
+@dataclass
 class Fuzzy:
     """`term~n` — matches a doc containing a token within Levenshtein
     distance ``max_edits`` of the term (classic Levenshtein in all three
@@ -145,6 +167,7 @@ _TOKEN_SPEC = re.compile(
         (?P<rbrace>\}) |
         (?P<cmp>>=|<=|>|<) |
         (?P<quoted>"(?P<qbody>[^"]*)") |
+        (?P<regex>/(?P<rebody>[^/]*)/) |
         (?P<neg>-) |
         (?P<fuzz>~(?P<fuzznum>\d+)?) |
         (?P<boost>\^(?P<boostnum>\d+(\.\d+)?)?) |
@@ -175,6 +198,8 @@ def _lex(s: str) -> list[tuple[str, str]]:
         else:
             if m.group("quoted") is not None:
                 out.append(("quoted", m.group("qbody")))
+            elif m.group("regex") is not None:
+                out.append(("regex", m.group("rebody")))
     return out
 
 
@@ -276,6 +301,9 @@ class _Parser:
                 # matching ES's phrase_slop default)
                 return Phrase(val, slop=int(nv[1:]) if len(nv) > 1 else 0)
             return Phrase(val)
+        if kind == "regex":
+            regexp_token_body(val)  # validate the dialect at parse time
+            return Regexp(val)
         if kind == "word":
             nk, _ = self.peek()
             if nk == "colon":
@@ -302,6 +330,9 @@ class _Parser:
                         return FieldRange(val, v, None, lo_inc, True)
                     return FieldRange(val, None, v, True, hi_inc)
                 vk, vv = self.take()
+                if vk == "regex":
+                    regexp_token_body(vv)  # validate the dialect
+                    return FieldRegexp(val, vv)
                 if vk == "quoted":
                     if val == "_exists_":
                         return Exists(vv)
@@ -373,7 +404,7 @@ def _apply_boost(node, b: float):
     score contributions are summed, so `(a b)^2` ≡ `a^2 b^2` exactly."""
     from dataclasses import replace as _replace
 
-    if isinstance(node, (Term, Phrase, Wildcard, Fuzzy)):
+    if isinstance(node, (Term, Phrase, Wildcard, Fuzzy, Regexp)):
         return _replace(node, boost=node.boost * b)
     if isinstance(node, And):
         return And([_apply_boost(p, b) for p in node.parts])
@@ -389,6 +420,8 @@ def _scope_to_field(node, field: str):
         return FieldEq(field, node.text)
     if isinstance(node, Wildcard):
         return FieldWildcard(field, node.text)
+    if isinstance(node, Regexp):
+        return FieldRegexp(field, node.pattern)
     if isinstance(node, And):
         return And([_scope_to_field(p, field) for p in node.parts])
     if isinstance(node, Or):
@@ -481,6 +514,40 @@ def _wildcard_regex(pattern: str) -> str:
     return f"(^|[^a-z0-9])({body})($|[^a-z0-9])"
 
 
+# the regex dialect common to Java (Spark rlike), RE2 (DuckDB) and Python:
+# classes, grouping, alternation, ., quantifiers incl. {m,n}. No anchors,
+# no backslash escapes, no Lucene ~complement/<>intervals.
+_REGEXP_OK = re.compile(r"^[a-z0-9\[\]\(\)\{\}\|\.\*\+\?\,\-\^]*$")
+
+
+def regexp_token_body(pattern: str) -> str:
+    """Validated, lowercased regex body for a `/pattern/` atom. Raises
+    ValueError outside the three-backend-identical dialect (a silently
+    divergent regex would pass one engine and fail the oracle). `^` is
+    allowed ONLY as class negation (`[^ab]`), never as an anchor."""
+    p = pattern.lower()
+    if not p or not _REGEXP_OK.match(p):
+        raise ValueError(
+            f"unsupported regexp {pattern!r}: only classes, grouping, "
+            "alternation, ., quantifiers over [a-z0-9] are portable "
+            "across the Spark/DuckDB/Python backends")
+    if re.search(r"(?<!\[)\^", p):
+        raise ValueError(
+            f"unsupported regexp {pattern!r}: '^' only as [^...] negation")
+    try:
+        re.compile(p)
+    except re.error as e:
+        raise ValueError(f"invalid regexp {pattern!r}: {e}") from e
+    return p
+
+
+# NOTE: the Regexp raw-text fallback is compiled TOKEN-level in every
+# backend (exists over the token array, never a boundary-wrapped regex on
+# raw text): `.` / negated classes match any char, so a raw-text regex
+# could cross token boundaries and diverge from the index path's
+# dictionary fullmatch.
+
+
 def slop_regex(toks: list[str], slop: int) -> str:
     """Text regex for a TWO-term sloppy phrase. Under the (position-offset)
     range formulation: an in-order match with g gap tokens costs g; a
@@ -536,6 +603,10 @@ def wildcard_key(pattern: str) -> str:
 
 def fuzzy_key(text: str, max_edits: int) -> str:
     return f"f{max_edits}:{text.lower()}"
+
+
+def regexp_key(pattern: str) -> str:
+    return "r:" + pattern.lower()
 
 
 def to_spark_predicate(
@@ -597,6 +668,21 @@ def to_spark_predicate(
             tokens_col(F.col(text_col)),
             lambda t: F.levenshtein(t, F.lit(toks[0])) <= node.max_edits,
         )
+    if isinstance(node, Regexp):
+        if pattern_markers is not None:
+            key = regexp_key(node.pattern)
+            if key in pattern_markers:
+                return pattern_markers[key]
+        body = regexp_token_body(node.pattern)
+        # token-level (anchored fullmatch per token) — see the dialect note
+        return F.exists(
+            tokens_col(F.col(text_col)),
+            lambda t: t.rlike(f"^(?:{body})$"),
+        )
+    if isinstance(node, FieldRegexp):
+        c = F.col(_resolve_field(node.field, columns))
+        body = regexp_token_body(node.pattern)
+        return c.cast("string").rlike(f"^(?:{body})$")
     if isinstance(node, FieldWildcard):
         c = F.col(_resolve_field(node.field, columns))
         rx = "^" + "".join(
@@ -666,6 +752,14 @@ def to_duckdb_sql(node, text_col: str, columns: list[str]) -> str:
         t = toks[0].replace("'", "''")
         return (f"len(list_filter({tokens_sql(text_col)}, "
                 f"t -> levenshtein(t, '{t}') <= {node.max_edits})) > 0")
+    if isinstance(node, Regexp):
+        body = regexp_token_body(node.pattern).replace("'", "''")
+        return (f"len(list_filter({tokens_sql(text_col)}, "
+                f"t -> regexp_full_match(t, '{body}'))) > 0")
+    if isinstance(node, FieldRegexp):
+        body = regexp_token_body(node.pattern).replace("'", "''")
+        c = _resolve_field(node.field, columns)
+        return f"regexp_full_match(CAST({c} AS VARCHAR), '{body}')"
     if isinstance(node, FieldWildcard):
         rx = "^" + "".join(
             ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
@@ -729,6 +823,15 @@ def to_python_predicate(node, text_col: str, columns: list[str]):
             abs(len(tok) - len(t)) <= n and levenshtein_py(tok, t) <= n
             for tok in tokenize_py(row.get(text_col))
         )
+    if isinstance(node, Regexp):
+        rxf = re.compile(regexp_token_body(node.pattern))
+        return lambda row: any(
+            rxf.fullmatch(tok) for tok in tokenize_py(row.get(text_col)))
+    if isinstance(node, FieldRegexp):
+        c = _resolve_field(node.field, columns)
+        rxf = re.compile(regexp_token_body(node.pattern))
+        return lambda row: _rowget(row, c) is not None and bool(
+            rxf.fullmatch(str(_rowget(row, c))))
     if isinstance(node, FieldWildcard):
         c = _resolve_field(node.field, columns)
         rx = re.compile("^" + "".join(
@@ -816,6 +919,13 @@ def dsl_to_ast(d: dict):
         if isinstance(v, dict):
             v = v.get("value", v.get("wildcard"))
         return FieldWildcard(f, str(v))
+    if kind == "regexp":
+        # ES regexp is a term-level query: on the analyzed text column it
+        # matches any token fully; on keyword fields the whole value
+        (f, v), = body.items()
+        if isinstance(v, dict):
+            v = v["value"]
+        return Regexp(str(v)) if f == "text" else FieldRegexp(f, str(v))
     if kind == "fuzzy":
         (f, v), = body.items()
         fuzz = 2
@@ -938,7 +1048,8 @@ def collect_query_atoms(node) -> dict:
     boost)]}. Negated and field clauses are filter-only (ES scoring
     semantics). Duplicate atoms (ignoring boost) keep the first occurrence
     — matching the engine's established dedup of repeated literal terms."""
-    out = {"terms": [], "phrases": [], "wildcards": [], "fuzzies": []}
+    out = {"terms": [], "phrases": [], "wildcards": [], "fuzzies": [],
+           "regexps": []}
     seen: set = set()
 
     def add(kind, key, entry):
@@ -961,6 +1072,8 @@ def collect_query_atoms(node) -> dict:
             add("phrases", (n.text, n.slop), (n.text, n.slop, n.boost))
         elif isinstance(n, Wildcard):
             add("wildcards", n.text, (n.text, n.boost))
+        elif isinstance(n, Regexp):
+            add("regexps", n.pattern, (n.pattern, n.boost))
         elif isinstance(n, Fuzzy):
             toks = tokenize_py(n.text)
             if len(toks) == 1:

@@ -181,6 +181,28 @@ def test_dsl_subset():
         dsl_to_ast({"more_like_this": {"fields": ["text"]}})
 
 
+def test_regexp_atoms_parse_and_dialect_guard():
+    """`/re/` parses to Regexp, `field:/re/` to FieldRegexp, the DSL regexp
+    kind maps by field, and non-portable dialects (anchors, backslash
+    escapes, Lucene ~complement) are rejected at parse — a silently
+    divergent regex would pass one backend and fail the oracle."""
+    from ee_outliers_spark.queryparser import (
+        FieldRegexp, Regexp, dsl_to_ast, parse_query_string,
+    )
+
+    assert parse_query_string("/cust[oe]mer/") == Regexp("cust[oe]mer")
+    assert parse_query_string("source:/src[0-9]/") == FieldRegexp(
+        "source", "src[0-9]")
+    assert dsl_to_ast({"regexp": {"text": {"value": "ab+c"}}}) == Regexp(
+        "ab+c")
+    assert dsl_to_ast({"regexp": {"lang": "e."}}) == FieldRegexp(
+        "lang", "e.")
+    assert parse_query_string("/x[^ab]y/") == Regexp("x[^ab]y")  # class neg
+    for bad in [r"/a\d/", "/^abc/", "/a$b/", "//"]:
+        with pytest.raises(ValueError):
+            parse_query_string(bad)
+
+
 def test_dsl_minimum_should_match_at_least_n():
     """msm >= 2 compiles an exact at-least-N boolean (round-3 ADVICE: it was
     silently weakened to at-least-1), verified via the python compiler over
@@ -249,6 +271,12 @@ QUERIES = [
     "lang:(en de)",          # adjacency inside a field group is OR
     "source:(src1 OR src1*) AND NOT lang:(zh)",
     "lang:* AND fast",       # field:* = exists
+    # Lucene regexp atoms (round 4): token-level /re/, keyword field:/re/
+    "/f[a-z]st/",
+    "/fa(st|ke)/ AND slow",
+    "NOT /sl.w/ AND fast",
+    "source:/src[0-9]/ AND /th[ae]/",
+    "lang:(/e[ns]/ OR de)",  # regexp inside a field group → FieldRegexp
 ]
 
 DSL_QUERIES = [
