@@ -87,6 +87,14 @@ def highlight_terms(query_string: str, text_col: str = "text") -> Column:
                 F.lower(F.col(text_col)).rlike(_wildcard_regex(w)), F.lit(w)
             )
         )
+    for body in _positive_safe_regexps(node):
+        frags.append(
+            F.when(
+                F.lower(F.col(text_col)).rlike(
+                    f"(^|[^a-z0-9])(?:{body})($|[^a-z0-9])"),
+                F.lit(f"/{body}/"),
+            )
+        )
     if not frags:
         return F.array().cast("array<string>")
     arr = F.array(*frags)
@@ -104,6 +112,31 @@ def _positive_wildcards(node) -> list[str]:
     def walk(n, neg):
         if isinstance(n, Wildcard) and not neg:
             out.append(n.text)
+        elif isinstance(n, (And, Or)):
+            for p in n.parts:
+                walk(p, neg)
+        elif isinstance(n, Not):
+            walk(n.part, not neg)
+
+    walk(node, False)
+    return list(dict.fromkeys(out))
+
+
+def _positive_safe_regexps(node) -> list[str]:
+    """Positive Regexp atoms whose body is TOKEN-SAFE for raw-text
+    highlighting: no `.` and no negated class, so the boundary-wrapped
+    pattern can never match across a token boundary (other regexps are
+    skipped, like fuzzies — predicate semantics stay exact either way;
+    highlight is the presentational layer)."""
+    from ..queryparser import And, Not, Or, Regexp, regexp_token_body
+
+    out: list[str] = []
+
+    def walk(n, neg):
+        if isinstance(n, Regexp) and not neg:
+            body = regexp_token_body(n.pattern)
+            if "." not in body and "[^" not in body:
+                out.append(body)
         elif isinstance(n, (And, Or)):
             for p in n.parts:
                 walk(p, neg)
@@ -149,6 +182,11 @@ def highlight_fragment(query_string: str, text_col: str = "text") -> Column:
                 col, f"(?i)(^|[^a-zA-Z0-9])({body})($|[^a-zA-Z0-9])",
                 "$1<value>$2</value>$3",
             )
+    for body in _positive_safe_regexps(node):
+        col = F.regexp_replace(
+            col, f"(?i)(^|[^a-zA-Z0-9])((?:{body}))($|[^a-zA-Z0-9])",
+            "$1<value>$2</value>$3",
+        )
     return col
 
 
