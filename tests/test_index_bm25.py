@@ -261,6 +261,64 @@ def test_matching_ids_agrees_on_full_query_corpus(spark, documents,
     assert covered >= 12  # the corpus carries a real text-only spread
 
 
+def test_matching_ids_randomized_booleans(spark, documents, pos_paths,
+                                          docs_dict):
+    """Seeded random boolean ASTs (terms / wildcards / regexps / fuzzies /
+    phrases under nested And/Or/Not) stress the per-segment set-algebra
+    evaluator beyond the hand-written corpus: results must equal the pure
+    Python compilation of the same AST over the raw rows."""
+    import random
+
+    from ee_outliers_spark.index.filter import matching_ids, text_only
+    from ee_outliers_spark.queryparser import (
+        And, Fuzzy, Not, Or, Phrase, Regexp, Term, Wildcard,
+        to_python_predicate,
+    )
+
+    rng = random.Random(20260817)
+    vocab = ["the", "customer", "window", "batch", "key", "order", "fast",
+             "slow", "vector", "stream", "zebraqq"]
+
+    def leaf():
+        r = rng.random()
+        t = rng.choice(vocab)
+        if r < 0.4:
+            return Term(t)
+        if r < 0.55:
+            return Wildcard(t[: rng.randint(1, 3)] + "*")
+        if r < 0.7:
+            return Regexp(t[:2] + "[a-z0-9]*")
+        if r < 0.8:
+            return Fuzzy(t, 1)
+        t2 = rng.choice(vocab)
+        return Phrase(f"{t} {t2}", slop=rng.choice([0, 0, 1, 2]))
+
+    def gen(depth):
+        if depth == 0 or rng.random() < 0.35:
+            return leaf()
+        kids = [gen(depth - 1) for _ in range(rng.randint(2, 3))]
+        shape = rng.random()
+        if shape < 0.45:
+            return And(kids)
+        if shape < 0.9:
+            return Or(kids)
+        return Not(gen(depth - 1))
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    rows = [{"doc_id": d, "text": t} for d, t in docs_dict.items()]
+    checked = 0
+    for _ in range(25):
+        node = gen(2)
+        assert text_only(node, positional=True)
+        pred = to_python_predicate(node, "text", cols)
+        want = sorted(r["doc_id"] for r in rows if pred(r))
+        got = sorted(r["doc_id"] for r in
+                     matching_ids(spark, pos_paths, node).collect())
+        assert got == want, node
+        checked += 1
+    assert checked == 25
+
+
 def test_text_only_filter_never_reads_corpus_text(spark, sf_dir, pos_paths):
     """indexed_filter on a text-only boolean collapses to matching_ids + a
     left-semi join: the docs-side parquet scan reads ONLY the join key
