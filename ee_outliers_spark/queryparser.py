@@ -925,6 +925,7 @@ def dsl_to_ast(d: dict):
         (f, v), = body.items()
         if isinstance(v, dict):
             v = v["value"]
+        regexp_token_body(str(v))  # validate the portable dialect upfront
         return Regexp(str(v)) if f == "text" else FieldRegexp(f, str(v))
     if kind == "fuzzy":
         (f, v), = body.items()

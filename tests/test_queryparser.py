@@ -201,6 +201,8 @@ def test_regexp_atoms_parse_and_dialect_guard():
     for bad in [r"/a\d/", "/^abc/", "/a$b/", "//"]:
         with pytest.raises(ValueError):
             parse_query_string(bad)
+    with pytest.raises(ValueError):  # DSL path validates the dialect too
+        dsl_to_ast({"regexp": {"text": {"value": r"a\d"}}})
 
 
 def test_dsl_minimum_should_match_at_least_n():
