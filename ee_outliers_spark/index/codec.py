@@ -17,11 +17,16 @@ import numpy as np
 _MAX_BYTES = 10  # enough for uint64
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64/int64 array (non-negative) to LEB128 bytes."""
+def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a uint64/int64 array (non-negative) to LEB128 bytes, also
+    returning the per-value byte length. Because LEB128 is per-value
+    independent, any contiguous slice of values can be recovered by slicing
+    the byte stream at ``cumsum(lengths)`` offsets — the segment kernel
+    encodes a WHOLE segment's postings in one vectorized pass and byte-
+    slices each term's blob out (identical bytes to per-term encodes)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # bytes needed per value: ceil(bits/7), min 1
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -45,7 +50,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         # continuation bit on every byte except the value's last
         cont = (nbytes[sel] - 1 > i).astype(np.uint8) << 7
         out[pos] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64/int64 array (non-negative) to LEB128 bytes."""
+    return varbyte_encode_with_lengths(values)[0]
 
 
 def varbyte_decode(data: bytes) -> np.ndarray:

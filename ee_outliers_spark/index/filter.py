@@ -29,8 +29,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queryparser import (
-    And, Fuzzy, Not, Or, Phrase, Regexp, Term, Wildcard, fuzzy_key,
-    phrase_key, regexp_key, to_spark_predicate, wildcard_key,
+    And, FieldText, Fuzzy, Not, Or, Phrase, Regexp, Term, Wildcard,
+    fuzzy_key, phrase_key, qualify_tokens, regexp_key, resolve_analyzed,
+    to_spark_predicate, wildcard_key,
 )
 from ..tokenizer import tokenize_py
 from .build import IndexPaths, read_live_segments
@@ -39,15 +40,23 @@ from .codec import varbyte_decode
 MATCH_COL = "_matched_terms"
 
 
+def _atom_tokens(n) -> list[str]:
+    """Dictionary terms of a Term / Phrase / FieldText atom — FieldText
+    yields the field-prefixed (`field:token`) per-field dictionary terms."""
+    if isinstance(n, FieldText):
+        return qualify_tokens(n.field, n.text)
+    return tokenize_py(n.text)
+
+
 def single_token_terms(node) -> list[str]:
-    """Distinct single-token Term atoms anywhere in the AST (any polarity —
-    the marker is the truth value 'doc contains token'; negation applies to
-    the marker itself)."""
+    """Distinct single-token Term/FieldText atoms anywhere in the AST (any
+    polarity — the marker is the truth value 'doc contains token'; negation
+    applies to the marker itself)."""
     out: list[str] = []
 
     def walk(n):
-        if isinstance(n, (Term, Phrase)):
-            toks = tokenize_py(n.text)
+        if isinstance(n, (Term, Phrase, FieldText)):
+            toks = _atom_tokens(n)
             if len(toks) == 1:
                 out.append(toks[0])
         elif isinstance(n, (And, Or)):
@@ -60,20 +69,20 @@ def single_token_terms(node) -> list[str]:
     return list(dict.fromkeys(out))
 
 
-def multi_token_phrases(node) -> list[tuple[str, str, int]]:
-    """Distinct (phrase_key, text, slop) multi-token text atoms — quoted
-    Phrases (incl. sloppy `"a b"~2`) and multi-token bare Terms compile to
-    the same positional phrase match, so both resolve via the positional
-    index."""
-    out: dict[str, tuple[str, str, int]] = {}
+def multi_token_phrases(node) -> list[tuple[str, list[str], int]]:
+    """Distinct (phrase_key, tokens, slop) multi-token text atoms — quoted
+    Phrases (incl. sloppy `"a b"~2`), multi-token bare Terms, and analyzed
+    FieldText phrases (field-prefixed tokens) all compile to the same
+    positional phrase match, so all resolve via the positional index."""
+    out: dict[str, tuple[str, list[str], int]] = {}
 
     def walk(n):
-        if isinstance(n, (Term, Phrase)):
-            toks = tokenize_py(n.text)
-            slop = n.slop if isinstance(n, Phrase) else 0
+        if isinstance(n, (Term, Phrase, FieldText)):
+            toks = _atom_tokens(n)
+            slop = n.slop if isinstance(n, (Phrase, FieldText)) else 0
             if len(toks) > 1:
                 k = phrase_key(toks, slop)
-                out.setdefault(k, (k, n.text, slop))
+                out.setdefault(k, (k, toks, slop))
         elif isinstance(n, (And, Or)):
             for p in n.parts:
                 walk(p)
@@ -153,7 +162,7 @@ PATTERN_COL = "_matched_patterns"
 def _phrase_markers(
     spark: SparkSession,
     paths: IndexPaths,
-    phrases: list[tuple[str, str, int]],
+    phrases: list[tuple[str, list[str], int]],
 ) -> DataFrame | None:
     """(doc_id, PHRASE_COL) for every doc containing ≥1 of the phrases,
     resolved by position-list intersection in the positional index. None when
@@ -162,8 +171,8 @@ def _phrase_markers(
     from .query import _phrase_hits
 
     parts = []
-    for key, text, slop in phrases:
-        hits = _phrase_hits(spark, paths, text, slop)
+    for key, toks, slop in phrases:
+        hits = _phrase_hits(spark, paths, toks, slop)
         if hits is not None:
             parts.append(hits.select(
                 "doc_id", F.lit(key).alias("__phrase")))
@@ -183,7 +192,7 @@ def attach_matched_phrases(
     paths: IndexPaths,
     docs: DataFrame,
     doc_col: str,
-    phrases: list[tuple[str, str, int]],
+    phrases: list[tuple[str, list[str], int]],
 ) -> DataFrame:
     """docs + an array column of which phrase keys each doc contains,
     resolved by position-list intersection in the positional index (never a
@@ -302,10 +311,11 @@ def required_atoms_union(node) -> list[tuple[str, str]] | None:
     docs table to evaluate a filter' into 'touch only docs in the candidate
     posting lists', the way ES drives filter context off the inverted index
     rather than a table scan."""
-    if isinstance(node, (Term, Phrase)):
+    if isinstance(node, (Term, Phrase, FieldText)):
         # a doc matching a phrase necessarily contains each of its tokens —
-        # any one of them is a valid pruning guarantee (pick the first)
-        toks = tokenize_py(node.text)
+        # any one of them is a valid pruning guarantee (pick the first);
+        # FieldText prunes on its field-prefixed dictionary term
+        toks = _atom_tokens(node)
         return [("term", toks[0])] if toks else None
     if isinstance(node, Wildcard):
         return [("pat", wildcard_key(node.text))]
@@ -341,8 +351,10 @@ def text_only(node, positional: bool) -> bool:
     from ..queryparser import MatchAll
 
     def walk(n) -> bool:
-        if isinstance(n, (Term, Phrase)):
-            toks = tokenize_py(n.text)
+        if isinstance(n, (Term, Phrase, FieldText)):
+            # a FieldText node only exists after resolve_analyzed consulted
+            # the index's analyzed_fields, so its prefixed terms ARE indexed
+            toks = _atom_tokens(n)
             return len(toks) <= 1 or positional
         if isinstance(n, (Wildcard, Fuzzy, Regexp, MatchAll)):
             return True
@@ -411,13 +423,32 @@ def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
 
     from ..queryparser import MatchAll as _MatchAll
 
-    positional = bool(load_stats(paths).get("positions"))
+    stats = load_stats(paths)
+    node = resolve_analyzed(node, stats.get("analyzed_fields"))
+    positional = bool(stats.get("positions"))
+    if not positional:
+        # a multi-token phrase needs position lists; silently evaluating it
+        # as "matches nothing" (and NOT "a b" as the whole universe) would
+        # be a wrong answer, not a degraded one — refuse instead (callers
+        # route through text_only(), which already gates on positions)
+        def _has_phrase(n) -> bool:
+            if isinstance(n, (Term, Phrase, FieldText)):
+                return len(_atom_tokens(n)) > 1
+            if isinstance(n, (And, Or)):
+                return any(_has_phrase(p) for p in n.parts)
+            if isinstance(n, Not):
+                return _has_phrase(n.part)
+            return False
+        if _has_phrase(node):
+            raise ValueError(
+                "matching_ids: multi-token phrase requires a positional "
+                "index (build with positions=True, or route through "
+                "indexed_filter)")
     terms = single_token_terms(node)
     pattern_preds = pattern_atoms(node)          # scan-pushdown Columns
     specs = _pattern_specs(node)                 # python twins for re-test
     phrases = multi_token_phrases(node) if positional else []
-    ph_tokens = sorted({t for _k, text, _s in phrases
-                        for t in tokenize_py(text)})
+    ph_tokens = sorted({t for _k, toks, _s in phrases for t in toks})
     need_terms = sorted(set(terms) | set(ph_tokens))
 
     def _has_universe_atom(n) -> bool:
@@ -448,7 +479,7 @@ def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
         cols += ["tf_blob", "pos_blob"]
     segs = read_live_segments(spark, paths).where(combined).select(*cols)
 
-    ph_defs = [(k, tokenize_py(text), slop) for k, text, slop in phrases]
+    ph_defs = [(k, toks, slop) for k, toks, slop in phrases]
     ph_token_set = set(ph_tokens)
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -508,13 +539,13 @@ def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
                     ph_sets[k] = nothing
 
         def ev(n) -> np.ndarray:
-            if isinstance(n, (Term, Phrase)):
-                toks = tokenize_py(n.text)
+            if isinstance(n, (Term, Phrase, FieldText)):
+                toks = _atom_tokens(n)
                 if not toks:
                     return nothing
                 if len(toks) == 1:
                     return docsets.get(toks[0], nothing)
-                slop = n.slop if isinstance(n, Phrase) else 0
+                slop = n.slop if isinstance(n, (Phrase, FieldText)) else 0
                 return ph_sets.get(phrase_key(toks, slop), nothing)
             if isinstance(n, Wildcard):
                 return pat_sets[wildcard_key(n.text)]
@@ -570,7 +601,11 @@ def indexed_filter(
     way ES filter context never leaves the inverted index."""
     from .build import load_stats
 
-    if text_only(node, bool(load_stats(paths).get("positions"))):
+    stats = load_stats(paths)
+    # mapping consultation (ES-style): field atoms on analyzed fields
+    # become index-backed FieldText atoms before any compilation
+    node = resolve_analyzed(node, stats.get("analyzed_fields"))
+    if text_only(node, bool(stats.get("positions"))):
         ids = matching_ids(spark, paths, node).withColumnRenamed(
             "doc_id", "__mi_doc_id")
         return docs.join(ids, docs[doc_col] == F.col("__mi_doc_id"),

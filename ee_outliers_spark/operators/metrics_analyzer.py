@@ -84,13 +84,20 @@ def metrics_outliers(
 
     work = df
     wl = None
+    prev_cached = None
     for _ in range(max_fixpoint_iters):
         res = one_pass(work).cache()
         if wl is None:
             wl = whitelist_predicate(
                 value_set_col(res, df.columns), whitelist_literals, whitelist_regexps
             )
-        if res.where(F.col("is_outlier") & wl).count() == 0:
+        n_retract = res.where(F.col("is_outlier") & wl).count()
+        if prev_cached is not None:
+            # the new iteration is materialized past its parent — drop the
+            # parent's cache so the loop never pins more than two copies
+            prev_cached.unpersist()
+        if n_retract == 0:
             return res.where("is_outlier")
         work = res.where(~(F.col("is_outlier") & wl)).select(*df.columns)
+        prev_cached = res
     return one_pass(work).where("is_outlier")

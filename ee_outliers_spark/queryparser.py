@@ -115,8 +115,62 @@ class FieldWildcard:
 
 @dataclass
 class FieldEq:
+    """`field:value` exact keyword comparison. ``slop`` records a trailing
+    `~n` on a quoted value (`field:"a b"~2`) — meaningful only when the
+    field resolves analyzed (``resolve_analyzed`` → FieldText phrase slop);
+    on a true keyword field the slop is ignored, like ES."""
     field: str
     value: str
+    slop: int = 0
+
+
+@dataclass
+class FieldText:
+    """`field:value` against an ANALYZED text field (ES mapping-driven
+    semantics: every text field is analyzed, and `field:value` searches the
+    analyzed terms unless `.keyword` — the reference's query strings search
+    analyzed fields like `OsqueryFilter.cmdline:"-W hidden"`,
+    /root/reference/app/helpers/es.py:238-250 + use_cases/examples/*.conf).
+    One token = term query, several = phrase (match_phrase). The node is
+    produced by ``resolve_analyzed`` — only for fields the target index
+    declares analyzed (stats.json ``analyzed_fields``), mirroring how ES
+    consults the mapping; the index stores the field's terms as
+    ``field:token`` dictionary entries (Lucene per-field terms), so the
+    atom resolves index-backed like any text atom. Scoring semantics:
+    BM25 with the PER-FIELD df (the prefixed dictionary entry's df) and
+    the main-text length norm — documented divergence from Lucene's
+    per-field norms, shared exactly by the DuckDB/Python oracles."""
+    field: str
+    text: str
+    slop: int = 0
+    boost: float = 1.0
+
+
+def qualify_tokens(field: str, text: str) -> list[str]:
+    """Lucene-style per-field dictionary terms: `field:token`. Plain tokens
+    are [a-z0-9]+ so the ':' can never collide with a main-text term."""
+    return [f"{field.lower()}:{t}" for t in tokenize_py(text)]
+
+
+def resolve_analyzed(node, analyzed_fields) -> object:
+    """Rewrite FieldEq atoms whose field is analyzed in the target index
+    into FieldText (the ES mapping consultation step). `.keyword` keeps
+    exact raw equality, non-analyzed fields keep FieldEq."""
+    fields = {f.lower() for f in (analyzed_fields or ())}
+    if not fields:
+        return node
+    if isinstance(node, FieldEq):
+        if (not node.field.endswith(".keyword")
+                and node.field.lower() in fields):
+            return FieldText(node.field, node.value, slop=node.slop)
+        return node
+    if isinstance(node, And):
+        return And([resolve_analyzed(p, fields) for p in node.parts])
+    if isinstance(node, Or):
+        return Or([resolve_analyzed(p, fields) for p in node.parts])
+    if isinstance(node, Not):
+        return Not(resolve_analyzed(node.part, fields))
+    return node
 
 
 @dataclass
@@ -331,11 +385,20 @@ class _Parser:
                     return FieldRange(val, None, v, True, hi_inc)
                 vk, vv = self.take()
                 if vk == "regex":
-                    regexp_token_body(vv)  # validate the dialect
+                    # keyword semantics: case-preserving (like FieldEq)
+                    regexp_token_body(vv, lower=False)
                     return FieldRegexp(val, vv)
                 if vk == "quoted":
                     if val == "_exists_":
                         return Exists(vv)
+                    nk2, nv2 = self.peek()
+                    if nk2 == "fuzz":
+                        # `field:"a b"~n` — phrase slop on an analyzed
+                        # field (resolve_analyzed); ignored for keywords
+                        self.take()
+                        return FieldEq(
+                            val, vv,
+                            slop=int(nv2[1:]) if len(nv2) > 1 else 0)
                     return FieldEq(val, vv)
                 if vk == "word":
                     if val == "_exists_":
@@ -404,7 +467,7 @@ def _apply_boost(node, b: float):
     score contributions are summed, so `(a b)^2` ≡ `a^2 b^2` exactly."""
     from dataclasses import replace as _replace
 
-    if isinstance(node, (Term, Phrase, Wildcard, Fuzzy, Regexp)):
+    if isinstance(node, (Term, Phrase, Wildcard, Fuzzy, Regexp, FieldText)):
         return _replace(node, boost=node.boost * b)
     if isinstance(node, And):
         return And([_apply_boost(p, b) for p in node.parts])
@@ -518,19 +581,73 @@ def _wildcard_regex(pattern: str) -> str:
 # classes, grouping, alternation, ., quantifiers incl. {m,n}. No anchors,
 # no backslash escapes, no Lucene ~complement/<>intervals.
 _REGEXP_OK = re.compile(r"^[a-z0-9\[\]\(\)\{\}\|\.\*\+\?\,\-\^]*$")
+# keyword-field regexps keep case (ES keyword regexp is case-sensitive);
+# uppercase literals behave identically in all three engines
+_REGEXP_OK_CASED = re.compile(r"^[a-zA-Z0-9\[\]\(\)\{\}\|\.\*\+\?\,\-\^]*$")
+_BRACE_QUANT = re.compile(r"\{\d+(,\d*)?\}")
 
 
-def regexp_token_body(pattern: str) -> str:
-    """Validated, lowercased regex body for a `/pattern/` atom. Raises
-    ValueError outside the three-backend-identical dialect (a silently
-    divergent regex would pass one engine and fail the oracle). `^` is
-    allowed ONLY as class negation (`[^ab]`), never as an anchor."""
-    p = pattern.lower()
-    if not p or not _REGEXP_OK.match(p):
+def regexp_token_body(pattern: str, *, lower: bool = True) -> str:
+    """Validated regex body for a `/pattern/` atom — lowercased when
+    ``lower`` (analyzed-text atoms: tokens are lowercase), case-preserving
+    for keyword-field regexps (ES keyword regexp is case-sensitive; a
+    FieldRegexp pattern must match the raw value as typed, like FieldEq).
+    Raises ValueError outside the three-backend-identical dialect (a
+    silently divergent regex would pass one engine and fail the oracle).
+    `^` is allowed ONLY as class negation (`[^ab]`), never as an anchor.
+
+    Structural rules beyond the charset — each rejects a measured
+    cross-backend divergence: `{` only as a complete `{m}`/`{m,}`/`{m,n}`
+    quantifier with a lower bound (`a{,3}` is {0,3} in Python but a
+    literal in RE2 and a PatternSyntaxException in Java; `a{2`/`a{b}` are
+    literal in Python/RE2 but crash Spark's Java engine at executor
+    runtime); no `}` outside a quantifier; no `[` inside a class body
+    (`[[a]]` is nested-class union in Java but a literal `[` in
+    RE2/Python); a class may not open `[]`/`[^]` (literal `]` in
+    RE2/Python, unclosed-class error in Java)."""
+    p = pattern.lower() if lower else pattern
+    ok = _REGEXP_OK if lower else _REGEXP_OK_CASED
+    if not p or not ok.match(p):
         raise ValueError(
             f"unsupported regexp {pattern!r}: only classes, grouping, "
             "alternation, ., quantifiers over [a-z0-9] are portable "
             "across the Spark/DuckDB/Python backends")
+    i, in_class, class_start = 0, False, -1
+    while i < len(p):
+        ch = p[i]
+        if in_class:
+            if ch == "[":
+                raise ValueError(
+                    f"unsupported regexp {pattern!r}: '[' inside a "
+                    "character class diverges across backends")
+            if ch == "]":
+                body = i - class_start - 1
+                if body == 0 or (body == 1 and p[class_start + 1] == "^"):
+                    raise ValueError(
+                        f"unsupported regexp {pattern!r}: '[]'/'[^]' "
+                        "diverges across backends")
+                in_class = False
+            i += 1
+            continue
+        if ch == "[":
+            in_class, class_start = True, i
+        elif ch == "{":
+            m = _BRACE_QUANT.match(p, i)
+            if not m:
+                raise ValueError(
+                    f"unsupported regexp {pattern!r}: braces only as a "
+                    "complete {{m}}/{{m,}}/{{m,n}} quantifier "
+                    "(lower bound required)")
+            i = m.end()
+            continue
+        elif ch == "}":
+            raise ValueError(
+                f"unsupported regexp {pattern!r}: '}}' outside a "
+                "quantifier")
+        i += 1
+    if in_class:
+        raise ValueError(
+            f"unsupported regexp {pattern!r}: unterminated character class")
     if re.search(r"(?<!\[)\^", p):
         raise ValueError(
             f"unsupported regexp {pattern!r}: '^' only as [^...] negation")
@@ -648,6 +765,22 @@ def to_spark_predicate(
             if key in phrase_markers:
                 return phrase_markers[key]
         return F.lower(F.col(text_col)).rlike(_phrase_text_regex(node))
+    if isinstance(node, FieldText):
+        qtoks = qualify_tokens(node.field, node.text)
+        if not qtoks:
+            return F.lit(False)
+        if (term_markers is not None and len(qtoks) == 1
+                and qtoks[0] in term_markers):
+            return term_markers[qtoks[0]]
+        if phrase_markers is not None and len(qtoks) > 1:
+            key = phrase_key(qtoks, node.slop)
+            if key in phrase_markers:
+                return phrase_markers[key]
+        # raw fallback: the same text atom compiled against the FIELD column
+        c = _resolve_field(node.field, columns)
+        inner = (Term(node.text) if len(qtoks) == 1
+                 else Phrase(node.text, slop=node.slop))
+        return to_spark_predicate(inner, c, columns)
     if isinstance(node, Wildcard):
         if pattern_markers is not None:
             key = wildcard_key(node.text)
@@ -681,7 +814,7 @@ def to_spark_predicate(
         )
     if isinstance(node, FieldRegexp):
         c = F.col(_resolve_field(node.field, columns))
-        body = regexp_token_body(node.pattern)
+        body = regexp_token_body(node.pattern, lower=False)
         return c.cast("string").rlike(f"^(?:{body})$")
     if isinstance(node, FieldWildcard):
         c = F.col(_resolve_field(node.field, columns))
@@ -742,6 +875,14 @@ def to_duckdb_sql(node, text_col: str, columns: list[str]) -> str:
             return "FALSE"
         rx = _phrase_text_regex(node)
         return f"regexp_matches(lower({text_col}), '{rx}')"
+    if isinstance(node, FieldText):
+        qtoks = qualify_tokens(node.field, node.text)
+        if not qtoks:
+            return "FALSE"
+        c = _resolve_field(node.field, columns)
+        inner = (Term(node.text) if len(qtoks) == 1
+                 else Phrase(node.text, slop=node.slop))
+        return to_duckdb_sql(inner, c, columns)
     if isinstance(node, Wildcard):
         rx = _wildcard_regex(node.text)
         return f"regexp_matches(lower({text_col}), '{rx}')"
@@ -757,7 +898,8 @@ def to_duckdb_sql(node, text_col: str, columns: list[str]) -> str:
         return (f"len(list_filter({tokens_sql(text_col)}, "
                 f"t -> regexp_full_match(t, '{body}'))) > 0")
     if isinstance(node, FieldRegexp):
-        body = regexp_token_body(node.pattern).replace("'", "''")
+        body = regexp_token_body(
+            node.pattern, lower=False).replace("'", "''")
         c = _resolve_field(node.field, columns)
         return f"regexp_full_match(CAST({c} AS VARCHAR), '{body}')"
     if isinstance(node, FieldWildcard):
@@ -809,6 +951,14 @@ def to_python_predicate(node, text_col: str, columns: list[str]):
         return lambda row: row.get(text_col) is not None and bool(
             rx.search(str(row[text_col]).lower())
         )
+    if isinstance(node, FieldText):
+        qtoks = qualify_tokens(node.field, node.text)
+        if not qtoks:
+            return lambda row: False
+        c = _resolve_field(node.field, columns)
+        inner = (Term(node.text) if len(qtoks) == 1
+                 else Phrase(node.text, slop=node.slop))
+        return to_python_predicate(inner, c, columns)
     if isinstance(node, Wildcard):
         rx = re.compile(_wildcard_regex(node.text))
         return lambda row: row.get(text_col) is not None and bool(
@@ -829,7 +979,7 @@ def to_python_predicate(node, text_col: str, columns: list[str]):
             rxf.fullmatch(tok) for tok in tokenize_py(row.get(text_col)))
     if isinstance(node, FieldRegexp):
         c = _resolve_field(node.field, columns)
-        rxf = re.compile(regexp_token_body(node.pattern))
+        rxf = re.compile(regexp_token_body(node.pattern, lower=False))
         return lambda row: _rowget(row, c) is not None and bool(
             rxf.fullmatch(str(_rowget(row, c))))
     if isinstance(node, FieldWildcard):
@@ -925,7 +1075,9 @@ def dsl_to_ast(d: dict):
         (f, v), = body.items()
         if isinstance(v, dict):
             v = v["value"]
-        regexp_token_body(str(v))  # validate the portable dialect upfront
+        # validate the portable dialect upfront (analyzed text lowers,
+        # keyword fields keep case — FieldEq parity)
+        regexp_token_body(str(v), lower=(f == "text"))
         return Regexp(str(v)) if f == "text" else FieldRegexp(f, str(v))
     if kind == "fuzzy":
         (f, v), = body.items()
@@ -1044,11 +1196,15 @@ def collect_text_terms(node) -> tuple[list[str], list[str]]:
 
 def collect_query_atoms(node) -> dict:
     """All positive scored text atoms for the index-backed query_string
-    scorer: {'terms': [(token, boost)], 'phrases': [(text, slop, boost)],
+    scorer: {'terms': [(token, boost)], 'phrases': [(tokens, slop, boost)]
+    (tokens = analyzed dictionary terms, field-prefixed for FieldText),
     'wildcards': [(pattern, boost)], 'fuzzies': [(token, max_edits,
-    boost)]}. Negated and field clauses are filter-only (ES scoring
-    semantics). Duplicate atoms (ignoring boost) keep the first occurrence
-    — matching the engine's established dedup of repeated literal terms."""
+    boost)]}. FieldText atoms score like text atoms (ES query_string on an
+    analyzed field): one token joins 'terms' as its `field:token`
+    dictionary entry, several join 'phrases'. Negated and non-analyzed
+    field clauses are filter-only (ES scoring semantics). Duplicate atoms
+    (ignoring boost) keep the first occurrence — matching the engine's
+    established dedup of repeated literal terms."""
     out = {"terms": [], "phrases": [], "wildcards": [], "fuzzies": [],
            "regexps": []}
     seen: set = set()
@@ -1070,7 +1226,17 @@ def collect_query_atoms(node) -> dict:
             for t in tokenize_py(n.text):
                 add("terms", t, (t, n.boost))
         elif isinstance(n, Phrase):
-            add("phrases", (n.text, n.slop), (n.text, n.slop, n.boost))
+            toks = tokenize_py(n.text)
+            if toks:
+                add("phrases", (tuple(toks), n.slop),
+                    (list(toks), n.slop, n.boost))
+        elif isinstance(n, FieldText):
+            qtoks = qualify_tokens(n.field, n.text)
+            if len(qtoks) == 1:
+                add("terms", qtoks[0], (qtoks[0], n.boost))
+            elif qtoks:
+                add("phrases", (tuple(qtoks), n.slop),
+                    (qtoks, n.slop, n.boost))
         elif isinstance(n, Wildcard):
             add("wildcards", n.text, (n.text, n.boost))
         elif isinstance(n, Regexp):

@@ -75,12 +75,13 @@ class OutlierStore:
         if not self._exists():
             return
         kept = self.read().where(F.col("model_name") != model_name).cache()
-        kept.count()
+        kept.count()  # materialize fully BEFORE deleting the source files
         kept.write.mode("overwrite").parquet(self.path + ".tmp")
         import shutil
 
         shutil.rmtree(self.path)
         os.rename(self.path + ".tmp", self.path)
+        kept.unpersist()
 
     def housekeep_whitelist(self, whitelisted_keys: DataFrame) -> None:
         """ref housekeeping.py:22-79: drop now-whitelisted outliers."""
@@ -90,12 +91,13 @@ class OutlierStore:
             whitelisted_keys.select(F.col("doc_key").cast("string")),
             "doc_key", "left_anti",
         ).cache()
-        kept.count()
+        kept.count()  # materialize fully BEFORE deleting the source files
         kept.write.mode("overwrite").parquet(self.path + ".tmp")
         import shutil
 
         shutil.rmtree(self.path)
         os.rename(self.path + ".tmp", self.path)
+        kept.unpersist()
 
 
 def with_outlier_tags(events: DataFrame, outliers: DataFrame,

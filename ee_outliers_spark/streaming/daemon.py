@@ -46,19 +46,27 @@ def append_segments(
     num_segments: int = 8,
 ) -> list[int]:
     """Index a batch of new docs as fresh segments. Returns new seg_ids.
-    Assumes doc ids are globally unique across batches (url→docID contract)."""
+    Assumes doc ids are globally unique across batches (url→docID contract).
+    Positions AND per-field analyzed terms match the base index's commit
+    point — an append can never silently drop either."""
+    stats = load_stats(paths)
+    analyzed = [f.lower() for f in stats.get("analyzed_fields") or []]
     base = new_docs.select(
-        F.col(doc_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+        F.col(doc_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        *[F.col(f).cast("string").alias(f) for f in analyzed],
     )
     if base.isEmpty():
         return []
 
-    stats = load_stats(paths)
     positions = bool(stats.get("positions", False))  # match the base index
     existing = spark.read.parquet(paths.segments)
     base_seg = (existing.agg(F.max("seg_id")).collect()[0][0] or 0) + 1
 
-    pairs = _pair_stream(base, num_segments, positions=positions).withColumn(
+    pairs = _pair_stream(
+        base, num_segments, positions=positions,
+        analyzed_fields=tuple(analyzed),
+    ).withColumn(
         "seg_id", (F.lit(base_seg) + F.col("seg_id")).cast("int")
     )
     t0 = time.monotonic()

@@ -456,7 +456,13 @@ def test_phrase_seg_match_vectorized_vs_perdoc(docs_dict):
 
     cases = [(["key", "order"], s) for s in (0, 1, 2, 5)] + [
         (["order", "key"], s) for s in (0, 1, 2)] + [
-        (["the", "key", "order"], 0), (["the", "key", "order"], 3)]
+        (["the", "key", "order"], 0), (["the", "key", "order"], 3)] + [
+        # repeated terms under slop: the vectorized greedy
+        # distinct-position assignment (round 5) vs the per-doc reference
+        (["batch", "batch"], s) for s in (1, 2, 3, 5)] + [
+        (["key", "order", "key"], s) for s in (1, 2, 4)] + [
+        (["the", "key", "the"], s) for s in (1, 3)] + [
+        (["batch", "batch", "batch"], 2)]
     any_hits = 0
     for phrase, slop in cases:
         distinct = list(dict.fromkeys(phrase))
@@ -485,6 +491,58 @@ def test_phrase_seg_match_vectorized_vs_perdoc(docs_dict):
         assert got == want, (phrase, slop)
         any_hits += len(got)
     assert any_hits > 0
+
+
+def test_phrase_seg_match_repeated_sloppy_randomized():
+    """Seeded randomized differential for the vectorized repeated-term
+    sloppy greedy (round-4 verdict #2): dense synthetic position lists are
+    far more adversarial than real text for distinct-position assignment
+    (many overlapping windows competing for the same positions)."""
+    import random
+
+    import numpy as np
+
+    from ee_outliers_spark.index.query import _phrase_seg_match, _sloppy_tf
+
+    rng = random.Random(20260817)
+    vocab = ["a", "b", "c"]
+    for trial in range(40):
+        n_docs = rng.randint(1, 6)
+        toks = {d: [rng.choice(vocab) for _ in range(rng.randint(3, 30))]
+                for d in range(n_docs)}
+        plists = {}
+        for term in vocab:
+            ds, flats, bounds = [], [], []
+            cum = 0
+            for d in sorted(toks):
+                pos = [i for i, tk in enumerate(toks[d]) if tk == term]
+                if pos:
+                    ds.append(d)
+                    flats.extend(pos)
+                    cum += len(pos)
+                    bounds.append(cum)
+            plists[term] = (np.array(ds, np.int64),
+                            np.array(flats, np.int64),
+                            np.array(bounds, np.int64))
+        m = rng.randint(2, 4)
+        phrase = [rng.choice(vocab) for _ in range(m)]
+        if len(set(phrase)) == m:
+            phrase[-1] = phrase[0]  # force a repeat
+        slop = rng.randint(1, 5)
+        distinct = list(dict.fromkeys(phrase))
+        if any(plists[t][0].size == 0 for t in distinct):
+            continue
+        got_d, got_t = _phrase_seg_match(plists, distinct, phrase, slop)
+        got = dict(zip(got_d.tolist(), got_t.tolist()))
+        inter = plists[distinct[0]][0]
+        for p in distinct[1:]:
+            inter = np.intersect1d(inter, plists[p][0], assume_unique=True)
+        want = {}
+        for d in inter:
+            tf = _sloppy_tf(plists, phrase, int(d), slop)
+            if tf:
+                want[int(d)] = tf
+        assert got == want, (trial, phrase, slop, toks)
 
 
 def test_auto_num_segments_budget(spark):
@@ -642,6 +700,49 @@ def test_search_topk_composed(spark, documents, pos_paths):
         d = int(r["doc_id"])
         assert d in en_ids
         assert abs(float(r["score"]) - full[d]) < 1e-9
+
+
+def test_search_topk_respects_docs_subset(spark, documents, pos_paths):
+    """Round-4 ADVICE: the text-only fast path used matching_ids against
+    the INDEXED universe and ignored the docs argument — a filtered docs
+    subset silently got hits outside it, and NOT resolved against the
+    index rather than the subset. Now semi-joined: every hit must come
+    from the passed subset, for plain, negated, and match-all queries."""
+    from ee_outliers_spark.index.query import search_topk
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    subset = documents.where("doc_id % 3 = 0")
+    sub_ids = {int(r["doc_id"])
+               for r in subset.select("doc_id").collect()}
+    for qs in ["customer OR window", "NOT customer", "*"]:
+        out = search_topk(spark, pos_paths, subset, "doc_id", "text",
+                          qs, 50, cols).collect()
+        assert out, qs
+        assert all(int(r["doc_id"]) in sub_ids for r in out), qs
+    # full-corpus call unchanged: identical to matching_ids-ranked result
+    full = search_topk(spark, pos_paths, documents, "doc_id", "text",
+                       "customer OR window", 50, cols).collect()
+    sub = search_topk(spark, pos_paths, subset, "doc_id", "text",
+                      "customer OR window", 50, cols).collect()
+    sub_from_full = [r for r in full if int(r["doc_id"]) in sub_ids]
+    got = {int(r["doc_id"]): float(r["score"]) for r in sub}
+    for r in sub_from_full[: len(got)]:
+        assert abs(got[int(r["doc_id"])] - float(r["score"])) < 1e-9
+
+
+def test_matching_ids_refuses_phrase_without_positions(spark, seg_paths):
+    """Round-4 ADVICE: on a non-positional index a multi-token phrase used
+    to evaluate as 'matches nothing' (and NOT "a b" as the whole
+    universe) — silent wrong answers. matching_ids now raises instead."""
+    from ee_outliers_spark.index.filter import matching_ids
+    from ee_outliers_spark.queryparser import parse_query_string
+
+    for qs in ['"key order"', 'NOT "key order"', 'customer AND "key order"']:
+        with pytest.raises(ValueError, match="positional"):
+            matching_ids(spark, seg_paths, parse_query_string(qs))
+    # single-token atoms stay fine on the non-positional index
+    assert matching_ids(
+        spark, seg_paths, parse_query_string("customer")).count() > 0
 
 
 def test_indexed_filter_phrases_off_positional_index(spark, documents, pos_paths):

@@ -205,6 +205,47 @@ def test_regexp_atoms_parse_and_dialect_guard():
         dsl_to_ast({"regexp": {"text": {"value": r"a\d"}}})
 
 
+def test_regexp_brace_and_class_divergences_rejected():
+    """Round-4 ADVICE: brace/class malformations that DIVERGE across the
+    three engines must be rejected, not silently compiled — 'a{,3}' is
+    {0,3} in Python, literal in RE2, PatternSyntaxException in Java;
+    'a{2'/'a{b}' are literal in Python/RE2 but crash Spark at executor
+    runtime; '[[a]]' is nested-class union in Java, literal '[' in
+    Python/RE2; '[]x]'/'[^]x]' are literal ']' in Python/RE2, unclosed
+    class in Java."""
+    from ee_outliers_spark.queryparser import regexp_token_body
+
+    for ok in ["a{2,3}", "a{2}", "a{10,}", "x[{]y", "a[}]b",
+               "(a|b){1,2}c", "[a-z0-9]{3}"]:
+        assert regexp_token_body(ok) == ok
+    for bad in ["a{,3}", "a{2", "a{b}", "a{}", "a{2,3", "a}", "[[a]]",
+                "[]x]", "[^]x]", "[abc", "a{2,}}"]:
+        with pytest.raises(ValueError):
+            regexp_token_body(bad)
+        with pytest.raises(ValueError):
+            regexp_token_body(bad, lower=False)
+
+
+def test_field_regexp_case_sensitive_keyword_semantics():
+    """Round-4 ADVICE: FieldRegexp matches the raw keyword value as typed
+    (ES keyword regexp is case-sensitive, FieldEq parity) — the pattern is
+    no longer lowercased, so /SRC[0-9]/ can match 'SRC1' and does NOT
+    match 'src1'."""
+    from ee_outliers_spark.queryparser import (
+        FieldRegexp, parse_query_string, regexp_token_body,
+        to_python_predicate,
+    )
+
+    assert regexp_token_body("SRC[0-9]", lower=False) == "SRC[0-9]"
+    node = parse_query_string("source:/SRC[0-9]/")
+    assert node == FieldRegexp("source", "SRC[0-9]")
+    pred = to_python_predicate(node, "text", ["doc_id", "source", "text"])
+    assert pred({"doc_id": 1, "source": "SRC1", "text": ""})
+    assert not pred({"doc_id": 2, "source": "src1", "text": ""})
+    # analyzed-text atoms still lower (tokens are lowercase)
+    assert regexp_token_body("CUST[OE]MER") == "cust[oe]mer"
+
+
 def test_dsl_minimum_should_match_at_least_n():
     """msm >= 2 compiles an exact at-least-N boolean (round-3 ADVICE: it was
     silently weakened to at-least-1), verified via the python compiler over
@@ -279,6 +320,9 @@ QUERIES = [
     "NOT /sl.w/ AND fast",
     "source:/src[0-9]/ AND /th[ae]/",
     "lang:(/e[ns]/ OR de)",  # regexp inside a field group → FieldRegexp
+    "/fa{1,2}st/",           # brace quantifier (validated complete form)
+    "/f[a-z]{3}/ AND NOT lang:de",
+    "source:/SRC[0-9]/",     # case-sensitive keyword regexp: matches nothing
 ]
 
 DSL_QUERIES = [
