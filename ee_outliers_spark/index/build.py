@@ -150,20 +150,42 @@ def segment_frame(seg_id: int, doc_ids_sorted: np.ndarray, dls_sorted: np.ndarra
     (Lucene .prx layout) — phrase queries then resolve entirely off the
     index instead of re-tokenizing the corpus (ref F2 quoted phrases,
     /root/reference/app/helpers/es.py:238-250)."""
-    # The whole segment encodes in ONE vectorized varbyte pass per stream
-    # (docs, tfs, positions) — LEB128 is per-value independent, so each
-    # term's blob is a byte-slice of the global stream at cumsum(lengths)
-    # offsets, byte-identical to per-term encodes. Block metadata batches
-    # the same way with ufunc.reduceat over global block boundaries. The
-    # per-term Python work is reduced to the final row-assembly loop
-    # (vocabulary-sized): measured 1.97 s → see BENCH.md for the kernel on
-    # a 16k-doc positional segment with the old per-term encode loop.
+    terms = tf["term"].to_numpy() if len(tf) else np.empty(0, object)
+    doc_np = (tf["doc_id"].to_numpy().astype(np.int64)
+              if len(tf) else np.empty(0, np.int64))
+    tf_np = (tf["tf"].to_numpy().astype(np.int64)
+             if len(tf) else np.empty(0, np.int64))
+    flat_pos = None
+    if "poss" in tf.columns:
+        poss_np = tf["poss"].to_numpy()
+        # one global flatten (np.concatenate accepts the object array of
+        # per-row position arrays directly — no per-row wrapping)
+        flat_pos = (np.concatenate(poss_np).astype(np.int64)
+                    if len(tf) else np.empty(0, np.int64))
+    return _assemble_segment(seg_id, doc_ids_sorted, dls_sorted, terms,
+                             doc_np, tf_np, flat_pos, elapsed)
+
+
+def _assemble_segment(seg_id: int, doc_ids_sorted: np.ndarray,
+                      dls_sorted: np.ndarray, terms: np.ndarray,
+                      doc_np: np.ndarray, tf_np: np.ndarray,
+                      flat_pos: np.ndarray | None,
+                      elapsed: float) -> pd.DataFrame:
+    """Encode one segment from flat row arrays sorted by (term, doc_id) —
+    ``flat_pos`` is the concatenated position stream in row order (None for
+    non-positional).
+
+    The whole segment encodes in ONE vectorized varbyte pass per stream
+    (docs, tfs, positions) — LEB128 is per-value independent, so each
+    term's blob is a byte-slice of the global stream at cumsum(lengths)
+    offsets, byte-identical to per-term encodes. Block metadata batches
+    the same way with ufunc.reduceat over global block boundaries. The
+    per-term Python work is reduced to the final row-assembly loop
+    (vocabulary-sized): 1.97 s → 0.58 s (positional) / 0.60 s → 0.06 s on
+    a 16k-doc segment vs the round-4 per-term encode loop (BENCH.md)."""
     out_rows = []
-    n = len(tf)
+    n = len(terms)
     if n:
-        terms = tf["term"].to_numpy()
-        doc_np = tf["doc_id"].to_numpy().astype(np.int64)
-        tf_np = tf["tf"].to_numpy().astype(np.int64)
         dl_lookup = dls_sorted[np.searchsorted(doc_ids_sorted, doc_np)]
         change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
         t_starts = np.concatenate(([0], change))
@@ -180,18 +202,13 @@ def segment_frame(seg_id: int, doc_ids_sorted: np.ndarray, dls_sorted: np.ndarra
         doc_off = np.concatenate(([0], np.cumsum(doc_lens)))
         tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
         pos_all = row_byte = row_bounds = None
-        if "poss" in tf.columns:
-            poss_np = tf["poss"].to_numpy()
-            # one global flatten (np.concatenate accepts the object array
-            # of per-row position arrays directly — no per-row wrapping)
-            flat = (np.concatenate(poss_np).astype(np.int64)
-                    if n else np.empty(0, np.int64))
+        if flat_pos is not None:
             row_bounds = np.concatenate(([0], np.cumsum(tf_np)))
-            pgaps = flat.copy()
-            if flat.size:
-                pgaps[1:] -= flat[:-1]
+            pgaps = flat_pos.copy()
+            if flat_pos.size:
+                pgaps[1:] -= flat_pos[:-1]
                 rs = row_bounds[:-1]
-                pgaps[rs] = flat[rs]  # posting boundaries: absolute
+                pgaps[rs] = flat_pos[rs]  # posting boundaries: absolute
             pos_all, pos_lens = varbyte_encode_with_lengths(
                 pgaps.astype(np.uint64))
             row_byte = np.concatenate(([0], np.cumsum(pos_lens)))
@@ -322,6 +339,160 @@ def _pair_stream(base: DataFrame, num_segments: int,
         dl = dl.withColumn("poss", F.lit(None).cast("array<int>"))
         return tf.unionByName(dl)
     return tf.unionByName(dl)
+
+
+def _text_segment_kernel(analyzed_fields: tuple[str, ...] = ()):
+    """applyInPandas kernel (grouped by seg_id) over raw (seg_id, doc_id,
+    text[, fields...]) rows: tokenize, invert WITH positions, and encode
+    entirely inside the worker — the production POSITIONAL build path.
+
+    Scale rationale (measured round 5, BENCH.md): a positional index's
+    payload is O(total tokens). Shipping that through a shuffle as
+    (term, doc, positions) rows costs ~4× the corpus bytes (term strings
+    re-shipped per posting + sort spill), while shipping the TEXT once in
+    the doc→segment repartition costs ~1× corpus bytes — the Lucene shape
+    (documents route to a shard; the shard's writer tokenizes and builds
+    its own .prx). Non-positional builds keep the opposite trade
+    (_pair_stream: compact JVM-aggregated pairs ≪ text — perf lesson from
+    round 1). Inside the kernel everything is C-path: vectorized findall,
+    one np.unique for the dictionary, one stable lexsort by (term, doc)
+    that inherits ascending positions, then the one-pass batch encoder
+    (_assemble_segment) — byte-identical segments to the pair-stream path
+    (pinned by a differential test)."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import itertools
+
+        t0 = time.monotonic()
+        seg_id = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        docs_sorted = pdf["doc_id"].to_numpy(np.int64)
+        tok_lists = pdf["text"].fillna("").str.lower().str.findall(
+            "[a-z0-9]+")
+        dls_sorted = tok_lists.str.len().to_numpy(np.int64)
+
+        # Dictionary via hash-factorize over OBJECT pointers, then a
+        # vocabulary-sized argsort + rank remap. A materialized unicode
+        # token array (<U maxlen × 4 B/char) hits ~250 MB/segment on web
+        # text and np.unique sorts all of it: measured 5.1 s/segment vs
+        # 0.37 s for factorize+rank — and the big allocations compound
+        # into page-fault storms on this host (BENCH.md round 5).
+        code_parts, doc_parts, pos_parts, vocab_parts = [], [], [], []
+        code_base = 0
+
+        def add_stream(lists: pd.Series, prefix: str) -> None:
+            nonlocal code_base
+            counts = lists.str.len().to_numpy(np.int64)
+            total = int(counts.sum())
+            if total == 0:
+                return
+            flat = np.fromiter(itertools.chain.from_iterable(lists),
+                               dtype=object, count=total)
+            codes, uniq = pd.factorize(flat)
+            uniq = np.asarray(uniq, dtype=object)
+            if prefix:
+                # prefix at VOCABULARY size, never per token
+                uniq = np.array([prefix + t for t in uniq], dtype=object)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            pos_parts.append(
+                np.arange(total, dtype=np.int64) - np.repeat(starts, counts))
+            doc_parts.append(np.repeat(docs_sorted, counts))
+            code_parts.append(codes.astype(np.int64) + code_base)
+            vocab_parts.append(uniq)
+            code_base += len(uniq)
+
+        add_stream(tok_lists, "")
+        for f in analyzed_fields:
+            add_stream(
+                pdf[f].fillna("").str.lower().str.findall("[a-z0-9]+"),
+                f + ":")
+
+        if not code_parts:
+            return _assemble_segment(
+                seg_id, docs_sorted, dls_sorted, np.empty(0, object),
+                np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64), time.monotonic() - t0)
+        codes_all = (np.concatenate(code_parts) if len(code_parts) > 1
+                     else code_parts[0])
+        docs_all = (np.concatenate(doc_parts) if len(doc_parts) > 1
+                    else doc_parts[0])
+        pos_all = (np.concatenate(pos_parts) if len(pos_parts) > 1
+                   else pos_parts[0])
+        vocab = (np.concatenate(vocab_parts) if len(vocab_parts) > 1
+                 else vocab_parts[0])
+        # streams are namespace-disjoint (field prefix) and per-stream
+        # uniques are unique → the combined vocabulary has no duplicates
+        order_v = np.argsort(vocab)
+        rank = np.empty(len(vocab), np.int64)
+        rank[order_v] = np.arange(len(vocab), dtype=np.int64)
+        codes_r = rank[codes_all]
+        order = np.lexsort((docs_all, codes_r))  # stable → positions stay
+        codes_s = codes_r[order]                 # ascending within (t, doc)
+        docs_s = docs_all[order]
+        change = np.flatnonzero(
+            (codes_s[1:] != codes_s[:-1]) | (docs_s[1:] != docs_s[:-1])) + 1
+        row_starts = np.concatenate(([0], change))
+        row_ends = np.concatenate((change, [len(codes_s)]))
+        sorted_vocab = vocab[order_v]
+        return _assemble_segment(
+            seg_id, docs_sorted, dls_sorted,
+            sorted_vocab[codes_s[row_starts]],
+            docs_s[row_starts].astype(np.int64),
+            (row_ends - row_starts).astype(np.int64),
+            pos_all[order].astype(np.int64),
+            time.monotonic() - t0)
+
+    return run
+
+
+#: positional-build kernel choice. "pairs" (default): JVM tokenize +
+#: O(tokens) (term,doc,positions) shuffle + collect_list — measured best on
+#: this sandbox, where the JVM→Python Arrow bridge is syscall-bound (round-1
+#: perf lesson) and shipping raw text into workers costs about what the
+#: positional shuffle saves (round-5 interleaved A/B: statistically
+#: indistinguishable under host noise, BENCH.md). "text": repartition the
+#: RAW TEXT to segments and tokenize/invert in-worker — ~1× corpus bytes
+#: moved instead of ~4× (term strings re-shipped per posting + sort spill);
+#: the Lucene shape, and the right default on a real cluster where network
+#: shuffle dominates and the Arrow bridge runs at memory speed. Both paths
+#: build byte-identical segments (differential test).
+POSITIONAL_KERNEL = os.environ.get("SPARK_GRAFT_POS_KERNEL", "pairs")
+
+
+def segment_frames_df(base: DataFrame, num_segments: int, positions: bool,
+                      analyzed_fields: tuple[str, ...] = (),
+                      seg_offset: int = 0,
+                      todo: list[int] | None = None,
+                      via_text: bool | None = None) -> DataFrame:
+    """SEGMENT_SCHEMA DataFrame for ``base`` (doc_id, text[, fields]).
+    Non-positional builds always ship compact JVM-aggregated (term, doc,
+    tf) pairs (_pair_stream — pairs ≪ text). Positional builds route by
+    ``via_text`` (default: the POSITIONAL_KERNEL env policy — see its note
+    for the measured trade-off): text-shipping in-worker inversion
+    (_text_segment_kernel) vs the positional pair stream. ``todo`` prunes
+    to unfinished seg_ids (resume)."""
+    if via_text is None:
+        via_text = POSITIONAL_KERNEL == "text"
+    if positions and via_text:
+        seg = ((F.col("doc_id") % num_segments).cast("int")
+               + F.lit(int(seg_offset))).cast("int").alias("seg_id")
+        src = base.select(seg, "*")
+        if todo is not None:
+            src = src.where(F.col("seg_id").isin(
+                [int(s) + int(seg_offset) for s in todo]))
+        return src.groupBy("seg_id").applyInPandas(
+            _text_segment_kernel(tuple(analyzed_fields)),
+            schema=SEGMENT_SCHEMA)
+    pairs = _pair_stream(base, num_segments, positions=positions,
+                         analyzed_fields=tuple(analyzed_fields))
+    if seg_offset:
+        pairs = pairs.withColumn(
+            "seg_id", (F.col("seg_id") + int(seg_offset)).cast("int"))
+    if todo is not None:
+        pairs = pairs.where(F.col("seg_id").isin(
+            [int(s) + int(seg_offset) for s in todo]))
+    return pairs.groupBy("seg_id").applyInPandas(
+        _pairs_segment_frame, schema=SEGMENT_SCHEMA)
 
 
 def _segment_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -569,14 +740,10 @@ def build_segments(
     todo = [s for s in range(num_segments) if s not in done]
     live = sorted(set(range(num_segments)) | done)
     if todo:
-        pairs = _pair_stream(
-            base, num_segments, positions=positions,
-            analyzed_fields=tuple(analyzed_fields),
-        ).where(F.col("seg_id").isin(todo))
         t0 = time.monotonic()
-        seg_df = pairs.groupBy("seg_id").applyInPandas(
-            _pairs_segment_frame, schema=SEGMENT_SCHEMA
-        )
+        seg_df = segment_frames_df(
+            base, num_segments, positions,
+            analyzed_fields=tuple(analyzed_fields), todo=todo)
         mode = "append" if done else "overwrite"
         # persist the segment frame so manifest + stats + termstats reuse the
         # already-computed blobs in memory instead of re-listing and

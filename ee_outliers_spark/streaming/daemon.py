@@ -32,8 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.build import (
-    SEGMENT_SCHEMA, IndexPaths, _pair_stream, _pairs_segment_frame,
-    load_stats, refresh_stats_and_termstats, write_manifest,
+    IndexPaths, load_stats, refresh_stats_and_termstats, segment_frames_df,
+    write_manifest,
 )
 
 
@@ -63,15 +63,10 @@ def append_segments(
     existing = spark.read.parquet(paths.segments)
     base_seg = (existing.agg(F.max("seg_id")).collect()[0][0] or 0) + 1
 
-    pairs = _pair_stream(
-        base, num_segments, positions=positions,
-        analyzed_fields=tuple(analyzed),
-    ).withColumn(
-        "seg_id", (F.lit(base_seg) + F.col("seg_id")).cast("int")
-    )
     t0 = time.monotonic()
-    pairs.groupBy("seg_id").applyInPandas(
-        _pairs_segment_frame, schema=SEGMENT_SCHEMA
+    segment_frames_df(
+        base, num_segments, positions, analyzed_fields=tuple(analyzed),
+        seg_offset=base_seg,
     ).write.mode("append").partitionBy("seg_id").parquet(paths.segments)
     wall = time.monotonic() - t0
 
@@ -97,6 +92,7 @@ def stream_index_updates(
     num_segments: int = 4,
     max_live_segments: int = 64,
     merge_fanin: int = 4,
+    settings=None,
 ) -> None:
     """Process all unseen parquet files under input_dir into new segments
     (Trigger.AvailableNow + checkpoint = exactly-once incremental ingestion),
@@ -105,8 +101,18 @@ def stream_index_updates(
     ``max_live_segments``, the ``merge_fanin`` smallest segments fold into
     one behind the crash-safe commit flip — a long-running ingest keeps a
     bounded, queryable segment count without operator intervention (Lucene
-    merges on a policy, not by hand). ``max_live_segments=0`` disables."""
+    merges on a policy, not by hand). ``max_live_segments=0`` disables.
+
+    ``settings`` (config.GeneralSettings, from an outliers.conf ``[index]``
+    section) overrides the policy knobs — per-batch segment count,
+    max_live_segments, merge_fanin; positions/analyzed_fields always follow
+    the index's own commit point (append_segments inherits them)."""
     from ..index.merge import compact_if_needed
+
+    if settings is not None:
+        num_segments = settings.num_segments or num_segments
+        max_live_segments = settings.max_live_segments
+        merge_fanin = settings.merge_fanin
 
     stream = (
         spark.readStream.schema(schema).parquet(input_dir)

@@ -493,6 +493,50 @@ def test_phrase_seg_match_vectorized_vs_perdoc(docs_dict):
     assert any_hits > 0
 
 
+def test_text_kernel_matches_pair_stream_segments(spark, documents):
+    """Round 5: positional builds route the RAW TEXT to segments and invert
+    in-worker (_text_segment_kernel) instead of shuffling O(tokens)
+    (term, doc, positions) pairs. The two paths must build BYTE-IDENTICAL
+    segments — same dictionary order, doc/tf/pos blobs, block metadata,
+    sidecars — including per-field analyzed terms."""
+    from pyspark.sql import functions as SF
+
+    from ee_outliers_spark.index.build import (
+        SEGMENT_SCHEMA, _pair_stream, _pairs_segment_frame,
+        segment_frames_df,
+    )
+    from ee_outliers_spark.tokenizer import tokens_col
+
+    base = documents.select(
+        SF.col("doc_id").cast("long").alias("doc_id"), "text",
+    ).withColumn(
+        "title", SF.array_join(SF.slice(tokens_col("text"), 1, 5), " "))
+
+    def key_rows(rows):
+        out = {}
+        for r in rows:
+            k = (int(r["seg_id"]), r["term"])
+            out[k] = (
+                bytes(r["doc_blob"] or b""), bytes(r["tf_blob"] or b""),
+                bytes(r["pos_blob"] or b""), r["block_last_doc"],
+                r["block_max_tf"], r["block_min_dl"], r["df_local"],
+                r["n_postings"], r["n_docs"], r["sum_dl"],
+            )
+        return out
+
+    for fields in ((), ("title",)):
+        got = key_rows(segment_frames_df(
+            base, 4, True, analyzed_fields=fields,
+            via_text=True).collect())
+        pairs = _pair_stream(base, 4, positions=True,
+                             analyzed_fields=fields)
+        want = key_rows(pairs.groupBy("seg_id").applyInPandas(
+            _pairs_segment_frame, schema=SEGMENT_SCHEMA).collect())
+        assert set(got) == set(want), fields
+        for k in want:
+            assert got[k] == want[k], (fields, k)
+
+
 def test_phrase_seg_match_repeated_sloppy_randomized():
     """Seeded randomized differential for the vectorized repeated-term
     sloppy greedy (round-4 verdict #2): dense synthetic position lists are
