@@ -116,12 +116,14 @@ class FieldWildcard:
 @dataclass
 class FieldEq:
     """`field:value` exact keyword comparison. ``slop`` records a trailing
-    `~n` on a quoted value (`field:"a b"~2`) — meaningful only when the
-    field resolves analyzed (``resolve_analyzed`` → FieldText phrase slop);
-    on a true keyword field the slop is ignored, like ES."""
+    `~n` on a quoted value (`field:"a b"~2`), ``boost`` a trailing `^n` —
+    both meaningful only when the field resolves analyzed
+    (``resolve_analyzed`` → FieldText phrase slop / BM25 boost); on a true
+    keyword field they are scoring no-ops (filter context), like ES."""
     field: str
     value: str
     slop: int = 0
+    boost: float = 1.0
 
 
 @dataclass
@@ -162,7 +164,8 @@ def resolve_analyzed(node, analyzed_fields) -> object:
     if isinstance(node, FieldEq):
         if (not node.field.endswith(".keyword")
                 and node.field.lower() in fields):
-            return FieldText(node.field, node.value, slop=node.slop)
+            return FieldText(node.field, node.value, slop=node.slop,
+                             boost=node.boost)
         return node
     if isinstance(node, And):
         return And([resolve_analyzed(p, fields) for p in node.parts])
@@ -467,7 +470,11 @@ def _apply_boost(node, b: float):
     score contributions are summed, so `(a b)^2` ≡ `a^2 b^2` exactly."""
     from dataclasses import replace as _replace
 
-    if isinstance(node, (Term, Phrase, Wildcard, Fuzzy, Regexp, FieldText)):
+    if isinstance(node, (Term, Phrase, Wildcard, Fuzzy, Regexp, FieldText,
+                         FieldEq)):
+        # FieldEq keeps the boost so a later analyzed-field resolution
+        # (FieldText) can score it; unresolved keyword FieldEq stays
+        # filter-only and the boost is a no-op
         return _replace(node, boost=node.boost * b)
     if isinstance(node, And):
         return And([_apply_boost(p, b) for p in node.parts])

@@ -101,6 +101,17 @@ sections.append((
     "of per-segment id arrays — zero doc-keyed exchange in the whole plan",
     matching_ids(spark, paths, tnode),
 ))
+sections.append((
+    "Per-field analyzed filter (FieldText — round 5)",
+    "field atoms on analyzed fields resolve as field-prefixed dictionary "
+    "terms in the SAME postings-only set-algebra plan — one segment scan "
+    "with `term IN ('title:batch', ...)` pushed down, per-segment numpy "
+    "booleans, zero documents-table access; .keyword / non-analyzed "
+    "fields stay plain column predicates",
+    matching_ids(spark, ep._field_index(spark, sf_dir),
+                 parse_query_string(
+                     'title:batch AND (window OR title:"key order")')),
+))
 from ee_outliers_spark.index.query import search_topk  # noqa: E402
 
 sections.append((

@@ -216,6 +216,19 @@ def test_field_slop_resolves_positionally(spark, titled_docs, field_paths):
         assert got == want, qs
 
 
+def test_field_boost_scales_bm25(spark, titled_docs, field_paths):
+    """`title:batch^2` doubles the field clause's BM25 contribution once
+    the field resolves analyzed (keyword FieldEq keeps boost as a
+    filter-context no-op, like ES)."""
+    base = {int(r["doc_id"]): float(r["score"]) for r in querystring_topk(
+        spark, field_paths, "title:batch", 10_000).collect()}
+    boosted = querystring_topk(spark, field_paths, "title:batch^2",
+                               10_000).collect()
+    assert boosted and len(boosted) == len(base)
+    for r in boosted:
+        assert abs(float(r["score"]) - 2.0 * base[int(r["doc_id"])]) < 1e-9
+
+
 def test_resolve_analyzed_shapes():
     n = parse_query_string('title:"a b"~2 AND lang:en')
     r = resolve_analyzed(n, ["title"])

@@ -47,8 +47,16 @@ def test_boost_shapes():
     # group boost distributes over the summed clauses: (a b)^2 == a^2 b^2
     assert parse_query_string("(fast slow)^2") == Or(
         [Term("fast", boost=2.0), Term("slow", boost=2.0)])
-    # boost on filter-only atoms parses and is a scoring no-op
-    assert parse_query_string("lang:en^2") == FieldEq("lang", "en")
+    # boost on field atoms is RETAINED on the node (round 5): still a
+    # scoring no-op for keyword FieldEq (filter context), but carried into
+    # FieldText when resolve_analyzed maps the field to the analyzed index
+    assert parse_query_string("lang:en^2") == FieldEq("lang", "en",
+                                                      boost=2.0)
+    from ee_outliers_spark.queryparser import FieldText, resolve_analyzed
+
+    assert resolve_analyzed(parse_query_string("title:batch^2"),
+                            ["title"]) == FieldText("title", "batch",
+                                                    boost=2.0)
     with pytest.raises(ValueError):
         parse_query_string("fast^")
 
