@@ -90,8 +90,10 @@ class GeneralSettings:
     num_segments: int | None = None  # None → auto (SPIMI memory budget)
     positions: bool = True
     analyzed_fields: list[str] = field(default_factory=list)
-    max_live_segments: int = 64
-    merge_fanin: int = 4
+    # None = "key absent from the conf" — callers keep their own argument
+    # instead of having a silent default win over an explicit parameter.
+    max_live_segments: int | None = None
+    merge_fanin: int | None = None
 
 
 def load_settings(path: str) -> GeneralSettings:
@@ -122,8 +124,8 @@ def load_settings(path: str) -> GeneralSettings:
         s.analyzed_fields = [x.strip() for x in
                              i.get("analyzed_fields", fallback="").split(",")
                              if x.strip()]
-        s.max_live_segments = i.getint("max_live_segments", fallback=64)
-        s.merge_fanin = i.getint("merge_fanin", fallback=4)
+        s.max_live_segments = i.getint("max_live_segments", fallback=None)
+        s.merge_fanin = i.getint("merge_fanin", fallback=None)
     return s
 
 

@@ -246,8 +246,15 @@ def terms_outliers(
             # reason to hold max_fixpoint_iters copies of the window)
             prev_cached.unpersist()
         if n_retract == 0:
-            return res.where("is_outlier")
+            # materialize the answer, then release the cache — a long-lived
+            # session must not keep one pinned window per analyzer call
+            out = res.where("is_outlier").localCheckpoint(eager=True)
+            res.unpersist()
+            return out
         # drop whitelisted flagged docs from the window and recompute
         work = res.where(~(F.col("is_outlier") & wl)).select(*df.columns)
         prev_cached = res
-    return one_pass(work).where("is_outlier")
+    out = one_pass(work).where("is_outlier").localCheckpoint(eager=True)
+    if prev_cached is not None:
+        prev_cached.unpersist()
+    return out

@@ -110,9 +110,13 @@ def stream_index_updates(
     from ..index.merge import compact_if_needed
 
     if settings is not None:
+        # only override knobs the conf file actually set (None = absent) —
+        # an explicit caller argument must not lose to a missing [index] key
         num_segments = settings.num_segments or num_segments
-        max_live_segments = settings.max_live_segments
-        merge_fanin = settings.merge_fanin
+        if settings.max_live_segments is not None:
+            max_live_segments = settings.max_live_segments
+        if settings.merge_fanin is not None:
+            merge_fanin = settings.merge_fanin
 
     stream = (
         spark.readStream.schema(schema).parquet(input_dir)
