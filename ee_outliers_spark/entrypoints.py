@@ -540,9 +540,10 @@ O["pattern_filter_suite"] = _suite_filter_sql(_PATTERN_SUITE)
 # slop via the per-field position lists. The corpus has one prose column,
 # so the gate derives a deterministic second analyzed field (title = the
 # doc's first 5 tokens; real deployments extract it from html) identically
-# in Spark and the oracle. Scoring: BM25 with the PER-FIELD df and the
-# main-text length norm (documented divergence from Lucene's per-field
-# norms; the oracle implements the identical formula).
+# in Spark and the oracle. Scoring: BM25 with the field's OWN stats —
+# per-field df, docCount-based idf, and the field's dl/avgdl length norm
+# (Lucene per-field similarity; the oracle implements the same formula
+# over the title token stream).
 
 _FIELD_QS = 'title:batch AND (window OR title:"key order") AND NOT title:merge'
 _FIELD_SCORED_TERM = "batch"
@@ -587,7 +588,10 @@ filt AS (
          CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rank
   FROM docs2 WHERE {pred}
 ),
-dl AS (SELECT doc_id, len({tokens_sql('text')}) AS dl FROM documents),
+dl AS (
+  SELECT doc_id, len({tokens_sql('title')}) AS dl FROM docs2
+  WHERE len({tokens_sql('title')}) > 0
+),
 stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
 ttf AS (
   SELECT doc_id, count(*) AS tf

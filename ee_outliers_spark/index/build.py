@@ -139,10 +139,20 @@ def block_upper_bound(max_tf, min_dl, avgdl: float):
 # --------------------------------------------------------------------------
 
 def segment_frame(seg_id: int, doc_ids_sorted: np.ndarray, dls_sorted: np.ndarray,
-                  tf: pd.DataFrame, elapsed: float) -> pd.DataFrame:
+                  tf: pd.DataFrame, elapsed: float,
+                  field_sidecars: dict | None = None) -> pd.DataFrame:
     """Assemble one segment's output rows from docID-sorted doc lengths and a
     (term, doc_id, tf) frame sorted by (term, doc_id). Shared by the build
     kernel and the LSM merge.
+
+    ``field_sidecars`` maps a per-field sidecar term (``"title:"`` — the
+    empty-token form no real dictionary entry can take, tokens being
+    [a-z0-9]+) to that field's docID-sorted ``(doc_ids, field_dls)`` for
+    docs where the field has ≥1 token. Each entry becomes one extra sidecar
+    row per segment (Lucene per-field norms: .nvd/.nvm are per field), and
+    the block_min_dl metadata of ``field:token`` term rows is computed from
+    the FIELD's lengths so WAND upper bounds stay safe under per-field
+    scoring.
 
     When ``tf`` carries a ``poss`` column (per-posting ascending token
     positions; len(poss) == tf), each term row additionally gets a
@@ -163,14 +173,16 @@ def segment_frame(seg_id: int, doc_ids_sorted: np.ndarray, dls_sorted: np.ndarra
         flat_pos = (np.concatenate(poss_np).astype(np.int64)
                     if len(tf) else np.empty(0, np.int64))
     return _assemble_segment(seg_id, doc_ids_sorted, dls_sorted, terms,
-                             doc_np, tf_np, flat_pos, elapsed)
+                             doc_np, tf_np, flat_pos, elapsed,
+                             field_sidecars=field_sidecars)
 
 
 def _assemble_segment(seg_id: int, doc_ids_sorted: np.ndarray,
                       dls_sorted: np.ndarray, terms: np.ndarray,
                       doc_np: np.ndarray, tf_np: np.ndarray,
                       flat_pos: np.ndarray | None,
-                      elapsed: float) -> pd.DataFrame:
+                      elapsed: float,
+                      field_sidecars: dict | None = None) -> pd.DataFrame:
     """Encode one segment from flat row arrays sorted by (term, doc_id) —
     ``flat_pos`` is the concatenated position stream in row order (None for
     non-positional).
@@ -187,6 +199,17 @@ def _assemble_segment(seg_id: int, doc_ids_sorted: np.ndarray,
     n = len(terms)
     if n:
         dl_lookup = dls_sorted[np.searchsorted(doc_ids_sorted, doc_np)]
+        if field_sidecars:
+            # rows are term-sorted, so every `field:token` row sits in the
+            # contiguous range ["field:", "field;") — swap in the FIELD's
+            # doc lengths there so block_min_dl bounds per-field impacts
+            for fterm, (fdocs, fdls) in field_sidecars.items():
+                lo = int(np.searchsorted(terms, fterm, side="left"))
+                hi = int(np.searchsorted(terms, fterm[:-1] + ";",
+                                         side="left"))
+                if lo < hi and len(fdocs):
+                    dl_lookup[lo:hi] = fdls[
+                        np.searchsorted(fdocs, doc_np[lo:hi])]
         change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
         t_starts = np.concatenate(([0], change))
         t_ends = np.concatenate((change, [n]))
@@ -240,13 +263,31 @@ def _assemble_segment(seg_id: int, doc_ids_sorted: np.ndarray,
                 bmindl_all[int(bo[i]):int(bo[i + 1])].tolist(),
                 None, None, elapsed,
             ))
+    # per-field doclen sidecar rows (term = "field:") — the field's own
+    # (docID, length) map + its (n_docs, sum_dl) totals, so FieldText atoms
+    # score with the field's norm (Lucene per-field .nvd) and stats carry a
+    # per-field docCount/avgdl without decoding anything at refresh time
+    n_terms = int(len(out_rows))
+    n_postings = int(sum(r[3] for r in out_rows))
+    if field_sidecars:
+        for fterm in sorted(field_sidecars):
+            fdocs, fdls = field_sidecars[fterm]
+            if not len(fdocs):
+                continue
+            out_rows.append((
+                seg_id, fterm, int(len(fdocs)), int(len(fdocs)),
+                varbyte_encode(np.diff(fdocs.astype(np.uint64),
+                                       prepend=np.uint64(0))),
+                varbyte_encode(fdls.astype(np.uint64)),
+                None, None, None, None,
+                int(len(fdocs)), int(fdls.sum()), elapsed,
+            ))
     # doclen sidecar row (term NULL). df_local/n_postings are repurposed to
     # carry the SEGMENT totals (n_terms, n_postings) so manifest + stats are
     # a 1-row-per-segment collect instead of a full segment-table aggregation
     # — that post-build agg was a measurable non-scaling tail.
     out_rows.append((
-        seg_id, None, int(len(out_rows)),
-        int(sum(r[3] for r in out_rows)),
+        seg_id, None, n_terms, n_postings,
         varbyte_encode(np.diff(doc_ids_sorted.astype(np.uint64),
                                prepend=np.uint64(0))),
         varbyte_encode(dls_sorted.astype(np.uint64)),
@@ -269,7 +310,15 @@ def _pairs_segment_frame(key, pdf: pd.DataFrame) -> pd.DataFrame:
     t0 = time.monotonic()
     seg_id = int(key[0])
     dl_rows = pdf[pdf["term"].isna()]
-    term_rows = pdf[pdf["term"].notna()]
+    notna = pdf[pdf["term"].notna()]
+    fmask = notna["term"].str.endswith(":")
+    field_sidecars = {}
+    for fterm, grp in notna[fmask].groupby("term", sort=True):
+        o = np.argsort(grp["doc_id"].to_numpy(), kind="stable")
+        field_sidecars[fterm] = (
+            grp["doc_id"].to_numpy(dtype=np.int64)[o],
+            grp["cnt"].to_numpy(dtype=np.int64)[o])
+    term_rows = notna[~fmask]
     order = np.argsort(dl_rows["doc_id"].to_numpy(), kind="stable")
     docs_sorted = dl_rows["doc_id"].to_numpy(dtype=np.int64)[order]
     dls_sorted = dl_rows["cnt"].to_numpy(dtype=np.int64)[order]
@@ -280,7 +329,8 @@ def _pairs_segment_frame(key, pdf: pd.DataFrame) -> pd.DataFrame:
         .sort_values(["term", "doc_id"], kind="stable")
     )
     return segment_frame(seg_id, docs_sorted, dls_sorted, tf,
-                         time.monotonic() - t0)
+                         time.monotonic() - t0,
+                         field_sidecars=field_sidecars or None)
 
 
 def _pair_stream(base: DataFrame, num_segments: int,
@@ -335,6 +385,14 @@ def _pair_stream(base: DataFrame, num_segments: int,
     tf = tf_of("text", "")
     for f in analyzed_fields:
         tf = tf.unionByName(tf_of(f.lower(), f.lower() + ":"))
+        # the field's own doclen stream (term = "field:", cnt = field token
+        # count, docs with ≥1 token only) — becomes the per-field norm
+        # sidecar row, Lucene's .nvd per-field length normalization
+        dl = dl.unionByName(
+            base.select(
+                seg, F.lit(f.lower() + ":").alias("term"), F.col("doc_id"),
+                F.size(tokens_col(f.lower())).cast("long").alias("cnt"),
+            ).where(F.col("cnt") > 0))
     if positions:
         dl = dl.withColumn("poss", F.lit(None).cast("array<int>"))
         return tf.unionByName(dl)
@@ -402,16 +460,22 @@ def _text_segment_kernel(analyzed_fields: tuple[str, ...] = ()):
             code_base += len(uniq)
 
         add_stream(tok_lists, "")
+        field_sidecars = {}
         for f in analyzed_fields:
-            add_stream(
-                pdf[f].fillna("").str.lower().str.findall("[a-z0-9]+"),
-                f + ":")
+            fl = pdf[f].fillna("").str.lower().str.findall("[a-z0-9]+")
+            flens = fl.str.len().to_numpy(np.int64)
+            m = flens > 0
+            if m.any():
+                # docs_sorted is ascending, so the masked slice stays sorted
+                field_sidecars[f + ":"] = (docs_sorted[m], flens[m])
+            add_stream(fl, f + ":")
 
         if not code_parts:
             return _assemble_segment(
                 seg_id, docs_sorted, dls_sorted, np.empty(0, object),
                 np.empty(0, np.int64), np.empty(0, np.int64),
-                np.empty(0, np.int64), time.monotonic() - t0)
+                np.empty(0, np.int64), time.monotonic() - t0,
+                field_sidecars=field_sidecars or None)
         codes_all = (np.concatenate(code_parts) if len(code_parts) > 1
                      else code_parts[0])
         docs_all = (np.concatenate(doc_parts) if len(doc_parts) > 1
@@ -440,7 +504,8 @@ def _text_segment_kernel(analyzed_fields: tuple[str, ...] = ()):
             docs_s[row_starts].astype(np.int64),
             (row_ends - row_starts).astype(np.int64),
             pos_all[order].astype(np.int64),
-            time.monotonic() - t0)
+            time.monotonic() - t0,
+            field_sidecars=field_sidecars or None)
 
     return run
 
@@ -623,15 +688,34 @@ def refresh_stats_and_termstats(spark: SparkSession, paths: IndexPaths,
              "positions": bool(positions)}
     if analyzed_fields:
         stats["analyzed_fields"] = [f.lower() for f in analyzed_fields]
+        # per-field docCount/avgdl from the "field:" sidecar rows' totals
+        # (Lucene per-field norms: idf uses the field's docCount, the length
+        # norm the field's own avgdl) — a len(fields)×n_segments-row agg
+        frows = (
+            segs.where(F.col("term").isNotNull()
+                       & F.col("term").endswith(":"))
+            .groupBy("term")
+            .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+            .collect()
+        )
+        stats["field_stats"] = {
+            r["term"][:-1]: {
+                "n_docs": int(r["n"] or 0),
+                "avgdl": (float(r["s"]) / int(r["n"])) if r["n"] else 0.0,
+            }
+            for r in frows
+        }
     if live is not None:
         stats["live_segments"] = sorted(int(s) for s in live)
     if num_segments is not None:
         stats["num_segments"] = num_segments
     elif "num_segments" in prev:
         stats["num_segments"] = prev["num_segments"]
-    ts = segs.where(F.col("term").isNotNull()).groupBy("term").agg(
-        F.sum("df_local").cast("long").alias("df")
-    )
+    # "field:" sidecar rows are norms, not dictionary entries — keep them
+    # out of termstats so pattern expansion / df lookups never see them
+    ts = (segs.where(F.col("term").isNotNull()
+                     & ~F.col("term").endswith(":"))
+          .groupBy("term").agg(F.sum("df_local").cast("long").alias("df")))
     ts.write.mode("overwrite").parquet(paths.termstats)
     commit_stats(paths, stats)
 

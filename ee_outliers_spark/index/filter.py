@@ -509,13 +509,18 @@ def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
                 pat_sets[k] = nothing
             elif spec[0] == "re":
                 rx = _re.compile(spec[1])
-                parts = [d for t, d in docsets.items() if rx.fullmatch(t)]
+                # ':'-containing keys are field-qualified entries — a
+                # main-text pattern must not match them even when '.' or a
+                # negated class in the dialect could (tokens have no ':')
+                parts = [d for t, d in docsets.items()
+                         if ":" not in t and rx.fullmatch(t)]
                 pat_sets[k] = (np.unique(np.concatenate(parts))
                                if parts else nothing)
             else:
                 _, tok, m = spec
                 parts = [d for t, d in docsets.items()
-                         if abs(len(t) - len(tok)) <= m
+                         if ":" not in t
+                         and abs(len(t) - len(tok)) <= m
                          and levenshtein_py(t, tok) <= m]
                 pat_sets[k] = (np.unique(np.concatenate(parts))
                                if parts else nothing)

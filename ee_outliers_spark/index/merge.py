@@ -56,7 +56,23 @@ def _merge_group(pdf: pd.DataFrame, new_seg: int) -> pd.DataFrame:
     t0 = time.monotonic()
     dl_mask = pdf["term"].isna().to_numpy()
     dl_rows = pdf[dl_mask]
-    term_rows = pdf[~dl_mask]
+    notna = pdf[~dl_mask]
+    # per-field norm sidecars ("field:" rows) merge like the main doclen
+    # sidecar — doc-disjoint concat+sort — never like posting rows (they
+    # carry no positions/block metadata)
+    fmask = notna["term"].str.endswith(":")
+    field_sidecars = {}
+    for fterm, grp in notna[fmask].groupby("term", sort=True):
+        fdocs_parts, fdls_parts = [], []
+        for dblob, tblob in zip(grp["doc_blob"], grp["tf_blob"]):
+            fdocs_parts.append(
+                np.cumsum(varbyte_decode(bytes(dblob))).astype(np.int64))
+            fdls_parts.append(varbyte_decode(bytes(tblob)).astype(np.int64))
+        fdocs = np.concatenate(fdocs_parts)
+        fdls = np.concatenate(fdls_parts)
+        o = np.argsort(fdocs, kind="stable")
+        field_sidecars[fterm] = (fdocs[o], fdls[o])
+    term_rows = notna[~fmask]
     # merged doclen sidecar (zip over columns — no per-row iterrows)
     dl_docs_parts, dl_vals_parts = [], []
     for dblob, tblob in zip(dl_rows["doc_blob"], dl_rows["tf_blob"]):
@@ -93,7 +109,8 @@ def _merge_group(pdf: pd.DataFrame, new_seg: int) -> pd.DataFrame:
         pd.concat(frames, ignore_index=True).sort_values(["term", "doc_id"])
         if frames else pd.DataFrame({c: [] for c in base_cols})
     )
-    return segment_frame(new_seg, dl_docs, dl_vals, tf, time.monotonic() - t0)
+    return segment_frame(new_seg, dl_docs, dl_vals, tf, time.monotonic() - t0,
+                         field_sidecars=field_sidecars or None)
 
 
 def _gc_segments(paths: IndexPaths, dead: list[int]) -> None:

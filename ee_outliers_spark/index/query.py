@@ -47,6 +47,35 @@ def _idf(n_docs: int, df_: int) -> float:
     return math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
 
 
+def _term_field(term: str) -> str | None:
+    """Field name of a dictionary entry (`title:batch` → `title`), None for
+    a main-text term. Tokens are [a-z0-9]+, so ':' is unambiguous."""
+    i = term.find(":")
+    return term[:i] if i > 0 else None
+
+
+def _field_norms(stats: dict) -> dict[str, tuple[int, float]]:
+    """field → (docCount, avgdl) from stats.json's ``field_stats`` (written
+    by refresh_stats from the per-field sidecar totals). Empty for indexes
+    without analyzed fields — callers fall back to the main-text norm, which
+    also keeps pre-field_stats indexes readable."""
+    return {
+        f: (int(v["n_docs"]), float(v["avgdl"]) or 1.0)
+        for f, v in (stats.get("field_stats") or {}).items()
+    }
+
+
+def _term_norm(term: str, fnorms: dict, n_docs: int, avgdl: float
+               ) -> tuple[int, float]:
+    """(docCount for idf, avgdl for the length norm) of one dictionary term:
+    the field's own stats for `field:token` entries (Lucene per-field
+    norms), the corpus stats for main-text terms."""
+    fld = _term_field(term)
+    if fld is not None and fld in fnorms:
+        return fnorms[fld]
+    return n_docs, avgdl
+
+
 # --------------------------------------------------------------------------
 # DataFrame path (naive postings)
 # --------------------------------------------------------------------------
@@ -412,8 +441,15 @@ def _phrase_hits(spark: SparkSession, paths: IndexPaths,
         # a phrase containing a zero-df term matches nothing anywhere
         return None
 
+    # per-field phrases (qualified tokens share one `field:` prefix) are
+    # normalized by the FIELD's doc length — fetch that norm sidecar too
+    fld = _term_field(toks[0])
+    side_term = (fld + ":") if fld is not None else None
+    side_pred = F.col("term").isNull()
+    if side_term is not None:
+        side_pred = side_pred | (F.col("term") == side_term)
     segs = read_live_segments(spark, paths).where(
-        F.col("term").isin(distinct) | F.col("term").isNull()
+        F.col("term").isin(distinct) | side_pred
     ).select("seg_id", "term", "doc_blob", "tf_blob", "pos_blob")
 
     phrase_terms = list(toks)  # ordered, with duplicates
@@ -423,6 +459,11 @@ def _phrase_hits(spark: SparkSession, paths: IndexPaths,
                               "tf": pd.Series(dtype="int64"),
                               "dl": pd.Series(dtype="int64")})
         dl_rows = pdf[pdf["term"].isna()]
+        if side_term is not None:
+            frows = pdf[pdf["term"] == side_term]
+            if not frows.empty:
+                dl_rows = frows  # field norm sidecar wins when present
+            pdf = pdf[pdf["term"] != side_term]
         term_rows = pdf[pdf["term"].notna()]
         if dl_rows.empty or len(term_rows) < len(distinct):
             return empty  # conjunction: every distinct term must occur here
@@ -506,8 +547,11 @@ def posting_tfs_df(spark: SparkSession, paths: IndexPaths,
     scoring needs NO shuffle join against a corpus-wide doclen table."""
     if term_pred is None:
         term_pred = F.col("term").isin(terms or [])
+    # "field:" norm sidecars ride along (one tiny row per field per segment)
+    # so `field:token` entries get the FIELD's doc length, not the text's
     segs = read_live_segments(spark, paths).where(
         term_pred | F.col("term").isNull()
+        | (F.col("term").isNotNull() & F.col("term").endswith(":"))
     ).select("seg_id", "term", "doc_blob", "tf_blob")
 
     def decode(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -518,25 +562,37 @@ def posting_tfs_df(spark: SparkSession, paths: IndexPaths,
             "dl": pd.Series(dtype="int64"),
         })
         dl_rows = pdf[pdf["term"].isna()]
-        term_rows = pdf[pdf["term"].notna()]
+        notna = pdf[pdf["term"].notna()]
+        fmask = notna["term"].str.endswith(":")
+        sidecars = {}
+        for fterm, grp in notna[fmask].groupby("term"):
+            sidecars[fterm] = (
+                np.cumsum(varbyte_decode(
+                    bytes(grp["doc_blob"].iloc[0]))).astype(np.int64),
+                varbyte_decode(bytes(grp["tf_blob"].iloc[0])).astype(np.int64))
+        term_rows = notna[~fmask]
         if dl_rows.empty or term_rows.empty:
             return empty
-        dl_docs = np.cumsum(
-            varbyte_decode(bytes(dl_rows["doc_blob"].iloc[0]))).astype(np.int64)
-        dl_vals = varbyte_decode(bytes(dl_rows["tf_blob"].iloc[0])).astype(np.int64)
-        ts, ds, fs = [], [], []
+        sidecars[None] = (
+            np.cumsum(varbyte_decode(
+                bytes(dl_rows["doc_blob"].iloc[0]))).astype(np.int64),
+            varbyte_decode(bytes(dl_rows["tf_blob"].iloc[0])).astype(np.int64))
+        ts, ds, fs, dls = [], [], [], []
         for term, dblob, tblob in zip(term_rows["term"], term_rows["doc_blob"],
                                       term_rows["tf_blob"]):
             docs = np.cumsum(varbyte_decode(bytes(dblob))).astype(np.int64)
             ts.append(np.full(len(docs), term, dtype=object))
             ds.append(docs)
             fs.append(varbyte_decode(bytes(tblob)).astype(np.int64))
-        d = np.concatenate(ds)
+            fld = _term_field(term)
+            sd, sv = sidecars.get(
+                (fld + ":") if fld is not None else None, sidecars[None])
+            dls.append(sv[np.searchsorted(sd, docs)])
         return pd.DataFrame({
             "term": np.concatenate(ts),
-            "doc_id": d,
+            "doc_id": np.concatenate(ds),
             "tf": np.concatenate(fs),
-            "dl": dl_vals[np.searchsorted(dl_docs, d)],
+            "dl": np.concatenate(dls),
         })
 
     return segs.groupBy("seg_id").applyInPandas(
@@ -569,7 +625,11 @@ def wildcard_term_pred(pattern: str) -> Column | None:
         return None
     p = pattern.lower()
     if _re.fullmatch(r"[a-z0-9]+\*", p):
-        return F.col("term").startswith(p[:-1])
+        # field-qualified dictionary entries ("title:batch") and per-field
+        # norm sidecars ("title:") share the dictionary; a main-text prefix
+        # pattern must never match them (tokens are [a-z0-9]+, no ':')
+        return (F.col("term").startswith(p[:-1])
+                & ~F.col("term").contains(":"))
     return F.col("term").rlike(f"^({body})$")
 
 
@@ -580,7 +640,10 @@ def regexp_term_pred(pattern: str) -> Column:
     dictionary scan."""
     from ..queryparser import regexp_token_body
 
-    return F.col("term").rlike(f"^(?:{regexp_token_body(pattern)})$")
+    # '.' / negated classes in the dialect can match ':' — exclude the
+    # field-qualified dictionary namespace (a token never contains ':')
+    return (F.col("term").rlike(f"^(?:{regexp_token_body(pattern)})$")
+            & ~F.col("term").contains(":"))
 
 
 def fuzzy_term_pred(token: str, max_edits: int) -> Column:
@@ -590,6 +653,7 @@ def fuzzy_term_pred(token: str, max_edits: int) -> Column:
     t = token.lower()
     return (
         F.length("term").between(len(t) - max_edits, len(t) + max_edits)
+        & ~F.col("term").contains(":")  # never expand into field namespace
         & (F.levenshtein(F.col("term"), F.lit(t)) <= max_edits)
     )
 
@@ -635,13 +699,29 @@ def _text_scores(spark: SparkSession, paths: IndexPaths,
     atoms = collect_query_atoms(node)
     stats = load_stats(paths)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    fnorms = _field_norms(stats)
 
-    def bm25(tf_col, idf_col):
+    def bm25(tf_col, idf_col, avgdl_col):
         return (
             idf_col * (tf_col * (K1 + 1.0))
-            / (tf_col + K1 * (1.0 - B + B * F.col("dl")
-                              / F.lit(float(avgdl))))
+            / (tf_col + K1 * (1.0 - B + B * F.col("dl") / avgdl_col))
         )
+
+    # per-term norm columns: `field:token` dictionary entries score with the
+    # field's docCount (idf) and avgdl (norm) — Lucene per-field similarity;
+    # main-text terms keep the corpus stats (fnorms empty → constants)
+    if fnorms:
+        n_map = F.create_map(*[F.lit(x) for f_, (nn, aa) in fnorms.items()
+                               for x in (f_, float(nn))])
+        a_map = F.create_map(*[F.lit(x) for f_, (nn, aa) in fnorms.items()
+                               for x in (f_, float(aa))])
+        fld_col = F.when(F.col("term").contains(":"),
+                         F.substring_index(F.col("term"), ":", 1))
+        n_col = F.coalesce(n_map[fld_col], F.lit(float(n_docs)))
+        a_col = F.coalesce(a_map[fld_col], F.lit(float(avgdl)))
+    else:
+        n_col = F.lit(float(n_docs))
+        a_col = F.lit(float(avgdl))
 
     contribs: list[DataFrame] = []
     # ONE fused dictionary scan for every term-shaped atom (literal terms,
@@ -676,15 +756,18 @@ def _text_scores(spark: SparkSession, paths: IndexPaths,
         exp_stats = (
             spark.read.parquet(paths.termstats).where(combined)
             .select("term", F.col("df").cast("double").alias("__df"),
-                    weight.alias("__w"))
+                    weight.alias("__w"), n_col.alias("__n"),
+                    a_col.alias("__avgdl"))
         )
         post = posting_tfs_df(spark, paths, term_pred=combined)
         idf_col = F.log(
-            1.0 + (F.lit(float(n_docs)) - F.col("__df") + 0.5)
+            1.0 + (F.col("__n") - F.col("__df") + 0.5)
             / (F.col("__df") + 0.5)) * F.col("__w")
         contribs.append(
             post.join(F.broadcast(exp_stats), "term").select(
-                "doc_id", bm25(F.col("tf"), idf_col).alias("contrib")))
+                "doc_id",
+                bm25(F.col("tf"), idf_col,
+                     F.col("__avgdl")).alias("contrib")))
     # phrase atoms: df (docs containing the phrase) is needed for idf. A
     # driver-side count per phrase costs one synchronized job each (P+1
     # jobs for P phrases), and a broadcast-join of the count recomputes the
@@ -697,12 +780,15 @@ def _text_scores(spark: SparkSession, paths: IndexPaths,
     # any number of phrases.
     ph_parts = []
     ph_boosts: dict[int, float] = {}
+    ph_norm: dict[int, tuple[int, float]] = {}
     for i, (p, slop, boost) in enumerate(atoms["phrases"]):
         h = _phrase_hits(spark, paths, p, slop)
         if h is not None:
             ph_parts.append(h.select(
                 "doc_id", "tf", "dl", F.lit(i).alias("__pk")))
             ph_boosts[i] = float(boost)
+            # per-field phrases (qualified tokens) use the field's norms
+            ph_norm[i] = _term_norm(p[0], fnorms, n_docs, avgdl)
     if ph_parts:
         tagged = ph_parts[0]
         for x in ph_parts[1:]:
@@ -712,10 +798,14 @@ def _text_scores(spark: SparkSession, paths: IndexPaths,
                tagged.groupBy("__pk").agg(F.count("*").alias("n")).collect()}
         idf_map = F.create_map(*[
             F.lit(v) for i, n in dfs.items()
-            for v in (i, _idf(n_docs, n) * ph_boosts[i])])
+            for v in (i, _idf(ph_norm[i][0], n) * ph_boosts[i])])
+        avgdl_map = F.create_map(*[
+            F.lit(v) for i in dfs
+            for v in (i, float(ph_norm[i][1]))])
         contribs.append(tagged.select(
             "doc_id",
-            bm25(F.col("tf"), idf_map[F.col("__pk")]).alias("contrib")))
+            bm25(F.col("tf"), idf_map[F.col("__pk")],
+                 avgdl_map[F.col("__pk")]).alias("contrib")))
     if not contribs:
         return None
     allc = contribs[0]
@@ -820,12 +910,12 @@ class _TermCursor:
     skip benefit applied to decompression, not just score bounds)."""
 
     __slots__ = ("doc_blob", "tf_blob", "doc_ends", "tf_ends", "n",
-                 "dl_docs", "dl_vals", "idf", "pos",
+                 "dl_docs", "dl_vals", "idf", "avgdl", "pos",
                  "block_last", "block_max", "max_score",
                  "blk", "blk_docs", "blk_tfs", "blk_dls")
 
     def __init__(self, doc_blob, tf_blob, dl_docs, dl_vals, idf,
-                 block_last, block_max):
+                 block_last, block_max, avgdl=None):
         self.doc_blob = doc_blob
         self.tf_blob = tf_blob
         db = np.frombuffer(doc_blob, dtype=np.uint8)
@@ -836,6 +926,7 @@ class _TermCursor:
         self.dl_docs = dl_docs
         self.dl_vals = dl_vals
         self.idf = idf
+        self.avgdl = avgdl  # the term's OWN norm (per-field for field:token)
         self.pos = 0
         self.block_last = np.asarray(block_last, dtype=np.int64)
         self.block_max = block_max  # idf-scaled block upper bounds
@@ -888,11 +979,12 @@ class _TermCursor:
         return self.block_max[min(b, len(self.block_max) - 1)]
 
     def score_cur(self, avgdl):
+        av = self.avgdl if self.avgdl is not None else avgdl
         b = self._ensure()
         i = self.pos - 128 * b
         tf = float(self.blk_tfs[i])
         dl = float(self.blk_dls[i])
-        return self.idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        return self.idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / av))
 
 
 def _topk_merge(cur_s: np.ndarray, cur_d: np.ndarray,
@@ -914,6 +1006,7 @@ def _single_term_segment(c: _TermCursor, k: int, avgdl: float
     pass instead of one interpreted Python iteration per posting (the round-2
     head-query regression was exactly this loop)."""
     nblk = len(c.block_max)
+    av = c.avgdl if c.avgdl is not None else avgdl
     cur_s = np.empty(0, np.float64)
     cur_d = np.empty(0, np.int64)
     theta = -np.inf
@@ -921,7 +1014,7 @@ def _single_term_segment(c: _TermCursor, k: int, avgdl: float
         if len(cur_s) == k and c.block_max[b] < theta:
             break  # sorted desc: nothing later can beat the heap either
         c._load(int(b))
-        scores = c.idf * _impact_np(c.blk_tfs, c.blk_dls, avgdl)
+        scores = c.idf * _impact_np(c.blk_tfs, c.blk_dls, av)
         cur_s, cur_d = _topk_merge(cur_s, cur_d, scores, c.blk_docs, k)
         if len(cur_s) == k:
             theta = cur_s[-1]
@@ -972,10 +1065,21 @@ def _and_segment(cursors: list[_TermCursor], k: int, avgdl: float
         tfs[id(c)] = t[keep]
         if cand.size == 0:
             return []
-    dls = base.dl_vals[np.searchsorted(base.dl_docs, cand)]
+    # per-cursor doc lengths: a field:token cursor normalizes by the FIELD's
+    # lengths (its own dl sidecar); cursors sharing a sidecar share gathers
+    dl_cache: dict[int, np.ndarray] = {}
+
+    def dls_for(c):
+        got = dl_cache.get(id(c.dl_docs))
+        if got is None:
+            got = c.dl_vals[np.searchsorted(c.dl_docs, cand)]
+            dl_cache[id(c.dl_docs)] = got
+        return got
+
     score = np.zeros(len(cand), dtype=np.float64)
     for c in cursors:
-        score += c.idf * _impact_np(tfs[id(c)], dls, avgdl)
+        av = c.avgdl if c.avgdl is not None else avgdl
+        score += c.idf * _impact_np(tfs[id(c)], dls_for(c), av)
     order = np.lexsort((cand, -score))[:k]
     return list(zip(cand[order].tolist(), score[order].tolist()))
 
@@ -1021,8 +1125,9 @@ def _or_segment(cursors: list[_TermCursor], k: int, avgdl: float
             got = caches[ci].get(b)
             if got is None:
                 c._load(b)
+                av = c.avgdl if c.avgdl is not None else avgdl
                 got = (c.blk_docs,
-                       c.idf * _impact_np(c.blk_tfs, c.blk_dls, avgdl))
+                       c.idf * _impact_np(c.blk_tfs, c.blk_dls, av))
                 caches[ci][b] = got
             docs, imp = got
             a = int(np.searchsorted(docs, lo, side="left"))
@@ -1168,6 +1273,7 @@ def bm25_topk_wand(
     terms = list(dict.fromkeys(terms))
     stats = load_stats(paths)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    fnorms = _field_norms(stats)
 
     tstats = {
         r["term"]: int(r["df"])
@@ -1175,10 +1281,16 @@ def bm25_topk_wand(
         .where(F.col("term").isin(terms))
         .collect()
     }
-    idfs = {t: _idf(n_docs, d) for t, d in tstats.items()}
+    # field:token entries take the FIELD's docCount/avgdl (per-field norms)
+    idfs = {t: _idf(_term_norm(t, fnorms, n_docs, avgdl)[0], d)
+            for t, d in tstats.items()}
     if not idfs or (mode == "and" and len(idfs) < len(terms)):
         # conjunction with a zero-df term matches nothing (oracle semantics)
         return spark.createDataFrame([], TOPK_SCHEMA)
+
+    side_terms = sorted({
+        fld + ":" for fld in (_term_field(t) for t in terms)
+        if fld is not None and fld in fnorms})
 
     # single scan: query-term rows + the doclen sidecar row, co-located per
     # segment — the filter pushes to parquet (term IN (...) OR term IS NULL)
@@ -1186,7 +1298,7 @@ def bm25_topk_wand(
     # largest column in the segment table and WAND never touches it — the
     # select keeps it out of the parquet scan entirely
     segs = read_live_segments(spark, paths).where(
-        F.col("term").isin(terms) | F.col("term").isNull()
+        F.col("term").isin(terms + side_terms) | F.col("term").isNull()
     ).select("seg_id", "term", "doc_blob", "tf_blob",
              "block_last_doc", "block_max_tf", "block_min_dl")
 
@@ -1194,7 +1306,18 @@ def bm25_topk_wand(
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         dl_rows = pdf[pdf["term"].isna()]
-        term_rows = pdf[pdf["term"].notna()]
+        notna = pdf[pdf["term"].notna()]
+        side = {}
+        for ft in side_terms:
+            grp = notna[notna["term"] == ft]
+            if not grp.empty:
+                side[ft] = (
+                    np.cumsum(varbyte_decode(
+                        bytes(grp["doc_blob"].iloc[0]))).astype(np.int64),
+                    varbyte_decode(
+                        bytes(grp["tf_blob"].iloc[0])).astype(np.int64))
+        term_rows = (notna[~notna["term"].isin(side_terms)]
+                     if side_terms else notna)
         if dl_rows.empty or term_rows.empty:
             return empty
         dl_docs = np.cumsum(
@@ -1203,13 +1326,20 @@ def bm25_topk_wand(
         cursors = []
         for _, row in term_rows.iterrows():
             idf = idfs[row["term"]]
-            # block upper bounds from avgdl-independent (max_tf, min_dl)
+            c_docs, c_vals = dl_docs, dl_vals
+            fld = _term_field(row["term"])
+            if fld is not None and (fld + ":") in side:
+                c_docs, c_vals = side[fld + ":"]
+            _, c_av = _term_norm(row["term"], fnorms, n_docs, avgdl)
+            # block upper bounds from avgdl-independent (max_tf, min_dl) —
+            # min_dl of field:token rows is the FIELD's min dl (build-side)
             bmax = block_upper_bound(
-                row["block_max_tf"], row["block_min_dl"], avgdl
+                row["block_max_tf"], row["block_min_dl"], c_av
             ) * idf
             cursors.append(_TermCursor(
                 bytes(row["doc_blob"]), bytes(row["tf_blob"]),
-                dl_docs, dl_vals, idf, row["block_last_doc"], bmax,
+                c_docs, c_vals, idf, row["block_last_doc"], bmax,
+                avgdl=c_av,
             ))
         if mode == "and" and len(cursors) < len(idfs):
             return empty

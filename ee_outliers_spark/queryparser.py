@@ -139,9 +139,12 @@ class FieldText:
     consults the mapping; the index stores the field's terms as
     ``field:token`` dictionary entries (Lucene per-field terms), so the
     atom resolves index-backed like any text atom. Scoring semantics:
-    BM25 with the PER-FIELD df (the prefixed dictionary entry's df) and
-    the main-text length norm — documented divergence from Lucene's
-    per-field norms, shared exactly by the DuckDB/Python oracles."""
+    BM25 with the PER-FIELD df AND the field's OWN length norm — the
+    field's docCount drives idf and the field's dl/avgdl the length
+    normalization (Lucene per-field similarity: .nvd norms + per-field
+    collection stats), read from the per-field ``field:`` doclen sidecar
+    rows and stats.json ``field_stats``. The DuckDB/Python oracles
+    implement the identical formula."""
     field: str
     text: str
     slop: int = 0

@@ -4,9 +4,10 @@ field and `field:value` searches the analyzed terms unless `.keyword`
 /root/reference/app/helpers/es.py:238-250 + use_cases/examples/*.conf).
 The engine stores per-field terms as `field:token` dictionary entries in
 the same segment layout (Lucene per-field terms), so field atoms resolve
-index-backed — terms, phrases, slop — and score BM25 with the per-field df
-and the main-text length norm (documented divergence from Lucene's
-per-field norms)."""
+index-backed — terms, phrases, slop — and score BM25 with the field's OWN
+stats: per-field df, docCount-based idf, and the field's dl/avgdl length
+norm read from the per-field "field:" doclen sidecar rows (Lucene
+per-field similarity)."""
 
 import math
 
@@ -105,13 +106,21 @@ def test_unanalyzed_index_keeps_raw_equality(spark, titled_docs,
     assert got == want
 
 
-def _brute_field_scores(docs_rows, term, avgdl, n_docs, k1=1.2, b=0.75):
-    """Per-doc BM25 of one title term: per-field df, main-text dl norm."""
+def _brute_field_scores(docs_rows, term, k1=1.2, b=0.75):
+    """Per-doc BM25 of one title term with the FIELD's own stats: per-field
+    df, docCount(title)-based idf, title dl/avgdl norm (Lucene per-field
+    similarity — what the engine now implements)."""
     tfs = {}
+    fdls = []
     for r in docs_rows:
-        tf = tokenize_py(r["title"]).count(term)
+        ttoks = tokenize_py(r["title"])
+        if ttoks:
+            fdls.append(len(ttoks))
+        tf = ttoks.count(term)
         if tf:
-            tfs[int(r["doc_id"])] = (tf, len(tokenize_py(r["text"])))
+            tfs[int(r["doc_id"])] = (tf, len(ttoks))
+    n_docs = len(fdls)                      # docCount of the field
+    avgdl = sum(fdls) / n_docs
     df = len(tfs)
     idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
     return {
@@ -124,9 +133,7 @@ def test_scored_field_term_rank_identity(spark, titled_docs, field_paths):
     """querystring_topk('title:batch') ≡ brute-force per-field BM25 over
     the corpus — rank-identical, scores to 1e-9."""
     rows = titled_docs.select("doc_id", "text", "title").collect()
-    n_docs = len(rows)
-    avgdl = sum(len(tokenize_py(r["text"])) for r in rows) / n_docs
-    want = _brute_field_scores(rows, "batch", avgdl, n_docs)
+    want = _brute_field_scores(rows, "batch")
     order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
     got = querystring_topk(spark, field_paths, "title:batch", 15).collect()
     assert [int(r["doc_id"]) for r in got] == [d for d, _ in order]
@@ -235,3 +242,91 @@ def test_resolve_analyzed_shapes():
     ft = r.parts[0]
     assert isinstance(ft, FieldText) and ft.slop == 2
     assert r.parts[1] == FieldEq("lang", "en")  # non-analyzed untouched
+
+
+def test_field_stats_recorded(titled_docs, field_paths):
+    """stats.json carries the field's docCount + avgdl (from the per-field
+    "title:" sidecar totals) — the inputs to per-field BM25."""
+    fs = load_stats(field_paths)["field_stats"]["title"]
+    rows = titled_docs.select("title").collect()
+    fdls = [len(tokenize_py(r["title"])) for r in rows]
+    fdls = [d for d in fdls if d > 0]
+    assert fs["n_docs"] == len(fdls)
+    assert abs(fs["avgdl"] - sum(fdls) / len(fdls)) < 1e-9
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    """Titles and texts whose length orderings OPPOSE each other: under the
+    field's norm short-title docs outrank long-title docs; under the
+    main-text norm the ordering reverses — the exact case a main-text-norm
+    FieldText scorer gets wrong."""
+    rows = [
+        (i, "filler " * (60 - 8 * i) + "anchor",
+         "batch " + "pad " * (2 * i))
+        for i in range(6)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, title string")
+
+
+def test_per_field_norm_rank_divergence(spark, skewed_docs, tmp_path_factory):
+    """Rank identity with the FIELD-norm brute force on a corpus where the
+    field norm and the main-text norm order docs differently (title dl
+    ascends while text dl descends) — pins that scoring really uses the
+    field's lengths, not the text's."""
+    out = str(tmp_path_factory.mktemp("skew_idx"))
+    paths = build_segments(spark, skewed_docs, "doc_id", "text", out,
+                           num_segments=2, positions=True,
+                           analyzed_fields=["title"], resume=False)
+    rows = skewed_docs.collect()
+    want = _brute_field_scores(rows, "batch")
+    order = [d for d, _ in sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))]
+    assert order == [0, 1, 2, 3, 4, 5]  # shortest title first
+
+    # the OLD semantics (main-text dl/avgdl, corpus docCount) ranks the
+    # other way — proves this corpus actually discriminates the two norms
+    n = len(rows)
+    avg_text = sum(len(tokenize_py(r["text"])) for r in rows) / n
+    df = len(want)
+    idf_m = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    main = {
+        int(r["doc_id"]): idf_m * 2.2 / (1.0 + 1.2 * (
+            0.25 + 0.75 * len(tokenize_py(r["text"])) / avg_text))
+        for r in rows
+    }
+    main_order = [d for d, _ in
+                  sorted(main.items(), key=lambda kv: (-kv[1], kv[0]))]
+    assert main_order != order
+
+    got = querystring_topk(spark, paths, "title:batch", 10).collect()
+    assert [int(r["doc_id"]) for r in got] == order
+    for r in got:
+        assert abs(float(r["score"]) - want[int(r["doc_id"])]) < 1e-9
+
+    # the WAND path over the same qualified dictionary term agrees exactly
+    from ee_outliers_spark.index.query import bm25_topk_wand
+
+    wand = bm25_topk_wand(spark, paths, ["title:batch"], 10).collect()
+    assert [int(r["doc_id"]) for r in wand] == order
+    for r in wand:
+        assert abs(float(r["score"]) - want[int(r["doc_id"])]) < 1e-9
+
+
+def test_merge_preserves_field_norms(spark, skewed_docs, tmp_path_factory):
+    """Full compaction of a per-field index merges the "title:" norm
+    sidecars like doclen sidecars — scores are unchanged afterwards."""
+    from ee_outliers_spark.index.merge import merge_segments
+
+    out = str(tmp_path_factory.mktemp("skew_idx_merge"))
+    paths = build_segments(spark, skewed_docs, "doc_id", "text", out,
+                           num_segments=4, positions=True,
+                           analyzed_fields=["title"], resume=False)
+    before = [(int(r["doc_id"]), float(r["score"])) for r in
+              querystring_topk(spark, paths, "title:batch", 10).collect()]
+    merge_segments(spark, paths, fanin=4)
+    assert len(load_stats(paths)["live_segments"]) == 1
+    after = [(int(r["doc_id"]), float(r["score"])) for r in
+             querystring_topk(spark, paths, "title:batch", 10).collect()]
+    assert [d for d, _ in after] == [d for d, _ in before]
+    for (_, a), (_, b) in zip(after, before):
+        assert abs(a - b) < 1e-9
