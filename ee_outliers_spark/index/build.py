@@ -66,14 +66,14 @@ SEGMENT_SCHEMA = (
     "seg_id int, term string, df_local long, n_postings long, "
     "doc_blob binary, tf_blob binary, pos_blob binary, "
     "block_last_doc array<long>, block_max_tf array<long>, "
-    "block_min_dl array<long>, "
+    "block_min_dl array<long>, block_pos_ends array<long>, "
     "n_docs long, sum_dl long, build_secs double"
 )
 
 _SEG_COLS = [
     "seg_id", "term", "df_local", "n_postings", "doc_blob", "tf_blob",
     "pos_blob",
-    "block_last_doc", "block_max_tf", "block_min_dl",
+    "block_last_doc", "block_max_tf", "block_min_dl", "block_pos_ends",
     "n_docs", "sum_dl", "build_secs",
 ]
 
@@ -247,12 +247,22 @@ def _assemble_segment(seg_id: int, doc_ids_sorted: np.ndarray,
         blast_all = doc_np[b_ends - 1]
         bmaxtf_all = np.maximum.reduceat(tf_np, b_starts)
         bmindl_all = np.minimum.reduceat(dl_lookup, b_starts)
+        bposend_all = None
+        if pos_all is not None:
+            # byte offset (within the TERM's pos_blob) of each block's end:
+            # positions restart absolute at every posting boundary, so any
+            # block-aligned byte slice decodes independently — queries
+            # decode only the blocks that hold candidate docs (the .prx
+            # analogue of block-max skip data; task: sublinear phrases)
+            bposend_all = (row_byte[row_bounds[b_ends]]
+                           - np.repeat(row_byte[row_bounds[t_starts]], nblks))
         for i in range(len(t_starts)):
             s, e = int(t_starts[i]), int(t_ends[i])
-            pos_blob = None
+            pos_blob = bpe = None
             if pos_all is not None:
                 pos_blob = pos_all[int(row_byte[row_bounds[s]]):
                                    int(row_byte[row_bounds[e]])]
+                bpe = bposend_all[int(bo[i]):int(bo[i + 1])].tolist()
             out_rows.append((
                 seg_id, terms[s], e - s, e - s,
                 doc_bytes[int(doc_off[s]):int(doc_off[e])],
@@ -261,6 +271,7 @@ def _assemble_segment(seg_id: int, doc_ids_sorted: np.ndarray,
                 blast_all[int(bo[i]):int(bo[i + 1])].tolist(),
                 bmaxtf_all[int(bo[i]):int(bo[i + 1])].tolist(),
                 bmindl_all[int(bo[i]):int(bo[i + 1])].tolist(),
+                bpe,
                 None, None, elapsed,
             ))
     # per-field doclen sidecar rows (term = "field:") — the field's own
@@ -279,7 +290,7 @@ def _assemble_segment(seg_id: int, doc_ids_sorted: np.ndarray,
                 varbyte_encode(np.diff(fdocs.astype(np.uint64),
                                        prepend=np.uint64(0))),
                 varbyte_encode(fdls.astype(np.uint64)),
-                None, None, None, None,
+                None, None, None, None, None,
                 int(len(fdocs)), int(fdls.sum()), elapsed,
             ))
     # doclen sidecar row (term NULL). df_local/n_postings are repurposed to
@@ -292,7 +303,7 @@ def _assemble_segment(seg_id: int, doc_ids_sorted: np.ndarray,
                                prepend=np.uint64(0))),
         varbyte_encode(dls_sorted.astype(np.uint64)),
         None,
-        None, None, None,
+        None, None, None, None,
         int(len(doc_ids_sorted)), int(dls_sorted.sum()), elapsed,
     ))
     return pd.DataFrame(out_rows, columns=_SEG_COLS)
@@ -399,10 +410,12 @@ def _pair_stream(base: DataFrame, num_segments: int,
     return tf.unionByName(dl)
 
 
-def _text_segment_kernel(analyzed_fields: tuple[str, ...] = ()):
+def _text_segment_kernel(analyzed_fields: tuple[str, ...] = (),
+                         positions: bool = True):
     """applyInPandas kernel (grouped by seg_id) over raw (seg_id, doc_id,
-    text[, fields...]) rows: tokenize, invert WITH positions, and encode
-    entirely inside the worker — the production POSITIONAL build path.
+    text[, fields...]) rows: tokenize, invert (with positions when
+    ``positions``), and encode entirely inside the worker — the production
+    build path for both index shapes.
 
     Scale rationale (measured round 5, BENCH.md): a positional index's
     payload is O(total tokens). Shipping that through a shuffle as
@@ -451,9 +464,10 @@ def _text_segment_kernel(analyzed_fields: tuple[str, ...] = ()):
             if prefix:
                 # prefix at VOCABULARY size, never per token
                 uniq = np.array([prefix + t for t in uniq], dtype=object)
-            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-            pos_parts.append(
-                np.arange(total, dtype=np.int64) - np.repeat(starts, counts))
+            if positions:
+                starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                pos_parts.append(np.arange(total, dtype=np.int64)
+                                 - np.repeat(starts, counts))
             doc_parts.append(np.repeat(docs_sorted, counts))
             code_parts.append(codes.astype(np.int64) + code_base)
             vocab_parts.append(uniq)
@@ -480,7 +494,8 @@ def _text_segment_kernel(analyzed_fields: tuple[str, ...] = ()):
                      else code_parts[0])
         docs_all = (np.concatenate(doc_parts) if len(doc_parts) > 1
                     else doc_parts[0])
-        pos_all = (np.concatenate(pos_parts) if len(pos_parts) > 1
+        pos_all = (None if not positions
+                   else np.concatenate(pos_parts) if len(pos_parts) > 1
                    else pos_parts[0])
         vocab = (np.concatenate(vocab_parts) if len(vocab_parts) > 1
                  else vocab_parts[0])
@@ -503,25 +518,27 @@ def _text_segment_kernel(analyzed_fields: tuple[str, ...] = ()):
             sorted_vocab[codes_s[row_starts]],
             docs_s[row_starts].astype(np.int64),
             (row_ends - row_starts).astype(np.int64),
-            pos_all[order].astype(np.int64),
+            pos_all[order].astype(np.int64) if positions else None,
             time.monotonic() - t0,
             field_sidecars=field_sidecars or None)
 
     return run
 
 
-#: positional-build kernel choice. "pairs" (default): JVM tokenize +
-#: O(tokens) (term,doc,positions) shuffle + collect_list — measured best on
-#: this sandbox, where the JVM→Python Arrow bridge is syscall-bound (round-1
-#: perf lesson) and shipping raw text into workers costs about what the
-#: positional shuffle saves (round-5 interleaved A/B: statistically
-#: indistinguishable under host noise, BENCH.md). "text": repartition the
-#: RAW TEXT to segments and tokenize/invert in-worker — ~1× corpus bytes
-#: moved instead of ~4× (term strings re-shipped per posting + sort spill);
-#: the Lucene shape, and the right default on a real cluster where network
-#: shuffle dominates and the Arrow bridge runs at memory speed. Both paths
-#: build byte-identical segments (differential test).
-POSITIONAL_KERNEL = os.environ.get("SPARK_GRAFT_POS_KERNEL", "pairs")
+#: positional-build kernel choice. "text" (default since round 6):
+#: repartition the RAW TEXT to segments and tokenize/invert in-worker —
+#: ~1× corpus bytes moved instead of ~4× (term strings re-shipped per
+#: posting + sort spill); the Lucene shape (docs route to a shard, the
+#: shard's writer builds its own .prx), and the right default on a real
+#: cluster where network shuffle dominates. Round-6 interleaved same-JVM
+#: A/B at 600k/32 cores: text 10.4 s vs pairs 12.9 s median (BENCH.md) —
+#: the round-5 "indistinguishable" call was host noise. "pairs": JVM
+#: tokenize + O(tokens) (term,doc,positions) shuffle + collect_list.
+#: NON-positional builds always default to the compact aggregated pair
+#: shuffle (pairs ≪ text — round-1 lesson, re-confirmed round 6: text
+#: 74.7 s vs pairs 47.6 s at 1.2M/16 cores). Both kernels build
+#: byte-identical segments for both shapes (differential test).
+POSITIONAL_KERNEL = os.environ.get("SPARK_GRAFT_POS_KERNEL", "text")
 
 
 def segment_frames_df(base: DataFrame, num_segments: int, positions: bool,
@@ -530,15 +547,15 @@ def segment_frames_df(base: DataFrame, num_segments: int, positions: bool,
                       todo: list[int] | None = None,
                       via_text: bool | None = None) -> DataFrame:
     """SEGMENT_SCHEMA DataFrame for ``base`` (doc_id, text[, fields]).
-    Non-positional builds always ship compact JVM-aggregated (term, doc,
-    tf) pairs (_pair_stream — pairs ≪ text). Positional builds route by
-    ``via_text`` (default: the POSITIONAL_KERNEL env policy — see its note
-    for the measured trade-off): text-shipping in-worker inversion
-    (_text_segment_kernel) vs the positional pair stream. ``todo`` prunes
-    to unfinished seg_ids (resume)."""
+    Non-positional builds default to compact JVM-aggregated (term, doc,
+    tf) pairs (_pair_stream — pairs ≪ text); positional builds default to
+    text-shipping in-worker inversion (_text_segment_kernel — text ≪
+    positional pairs). See the POSITIONAL_KERNEL note for the measured
+    trade-off; ``via_text`` overrides either way. ``todo`` prunes to
+    unfinished seg_ids (resume)."""
     if via_text is None:
-        via_text = POSITIONAL_KERNEL == "text"
-    if positions and via_text:
+        via_text = positions and POSITIONAL_KERNEL == "text"
+    if via_text:
         seg = ((F.col("doc_id") % num_segments).cast("int")
                + F.lit(int(seg_offset))).cast("int").alias("seg_id")
         src = base.select(seg, "*")
@@ -546,7 +563,7 @@ def segment_frames_df(base: DataFrame, num_segments: int, positions: bool,
             src = src.where(F.col("seg_id").isin(
                 [int(s) + int(seg_offset) for s in todo]))
         return src.groupBy("seg_id").applyInPandas(
-            _text_segment_kernel(tuple(analyzed_fields)),
+            _text_segment_kernel(tuple(analyzed_fields), positions=positions),
             schema=SEGMENT_SCHEMA)
     pairs = _pair_stream(base, num_segments, positions=positions,
                          analyzed_fields=tuple(analyzed_fields))
@@ -788,6 +805,7 @@ def build_segments(
     resume: bool = True,
     positions: bool = False,
     analyzed_fields: list[str] | None = None,
+    via_text: bool | None = None,
 ) -> IndexPaths:
     """Single-pass SPIMI index build with checkpointed, resumable segments.
 
@@ -827,7 +845,8 @@ def build_segments(
         t0 = time.monotonic()
         seg_df = segment_frames_df(
             base, num_segments, positions,
-            analyzed_fields=tuple(analyzed_fields), todo=todo)
+            analyzed_fields=tuple(analyzed_fields), todo=todo,
+            via_text=via_text)
         mode = "append" if done else "overwrite"
         # persist the segment frame so manifest + stats + termstats reuse the
         # already-computed blobs in memory instead of re-listing and

@@ -123,6 +123,63 @@ def decode_position_stream(pos_blob: bytes, tfs: np.ndarray) -> tuple[np.ndarray
     return cs - np.repeat(doc_base, tfs), bounds
 
 
+def gather_candidate_positions(
+    pos_blob: bytes, tfs: np.ndarray, block_ends: np.ndarray,
+    docs: np.ndarray, cand: np.ndarray, block: int = 128,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Positions of ``cand`` docs only, decoding ONLY the ``block``-posting
+    blocks that contain them (every posting's first position is stored
+    absolute, so block-aligned byte slices decode independently — the
+    reason :func:`encode_position_stream` restarts at posting boundaries).
+
+    ``docs``/``tfs`` are the full posting list's docIDs and position
+    counts; ``block_ends`` the per-block byte END offsets within
+    ``pos_blob`` (build-side ``block_pos_ends``); ``cand`` an ascending
+    subset of ``docs``. Returns ``(vals, owner)`` — exactly the shape of
+    the query layer's ragged gather: concatenated ascending positions per
+    candidate plus each value's candidate index. Work is O(touched blocks),
+    not O(total positions): a rare∧common phrase decodes a handful of
+    blocks out of thousands."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    idx = np.searchsorted(docs, cand)
+    if idx.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    blk = idx // block
+    need = np.unique(blk)
+    ends = np.asarray(block_ends, dtype=np.int64)
+    n = len(tfs)
+    if len(need) == len(ends):
+        # every block touched — decode the whole stream in one pass
+        flat, bounds = decode_position_stream(pos_blob, tfs)
+        local = idx
+    else:
+        starts_b = np.concatenate(([0], ends[:-1]))
+        seg_lens = ends[need] - starts_b[need]
+        total_b = int(seg_lens.sum())
+        sb = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+        byte_idx = (np.repeat(starts_b[need] - sb, seg_lens)
+                    + np.arange(total_b, dtype=np.int64))
+        blob = np.frombuffer(pos_blob, dtype=np.uint8)[byte_idx]
+        # postings of the needed blocks (ragged tail block included)
+        pb = np.minimum((need + 1) * block, n) - need * block
+        post_base = np.concatenate(([0], np.cumsum(pb)))
+        pidx = (np.repeat(need * block - post_base[:-1], pb)
+                + np.arange(int(post_base[-1]), dtype=np.int64))
+        flat, bounds = decode_position_stream(blob.tobytes(), tfs[pidx])
+        r = np.searchsorted(need, blk)
+        local = idx - need[r] * block + post_base[r]
+    hi = bounds[local]
+    cnt = tfs[idx]
+    lo = hi - cnt
+    total = int(cnt.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    shift = np.repeat(lo - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+    vals = flat[np.arange(total, dtype=np.int64) + shift]
+    owner = np.repeat(np.arange(len(cand), dtype=np.int64), cnt)
+    return vals.astype(np.int64), owner
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
     """(docIDs ascending, term frequencies) → (varbyte(delta(docIDs)), varbyte(tfs))."""
     return varbyte_encode(delta_encode(doc_ids)), varbyte_encode(tfs)

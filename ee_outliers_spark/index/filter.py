@@ -416,9 +416,8 @@ def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
 
     Caller contract: ``node`` must satisfy ``text_only``; the ids are those
     of the indexed corpus (compose with a semi-join for subset inputs)."""
-    from ..queryparser import MatchAll, phrase_key
+    from ..queryparser import MatchAll, phrase_key  # noqa: F401 (closure)
     from .build import load_stats
-    from .codec import decode_position_stream
     from .query import _phrase_seg_match
 
     from ..queryparser import MatchAll as _MatchAll
@@ -451,17 +450,37 @@ def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
     ph_tokens = sorted({t for _k, toks, _s in phrases for t in toks})
     need_terms = sorted(set(terms) | set(ph_tokens))
 
-    def _has_universe_atom(n) -> bool:
-        if isinstance(n, (Not, _MatchAll)):
-            return True
-        if isinstance(n, (And, Or)):
-            return any(_has_universe_atom(p) for p in n.parts)
+    def _is_multi_phrase(n) -> bool:
+        return (isinstance(n, (Term, Phrase, FieldText))
+                and len(_atom_tokens(n)) > 1)
+
+    def _needs_universe(n, has_cand: bool) -> bool:
+        """Mirror of the evaluator below: the doclen sidecar (doc universe)
+        is needed only when a NOT / match-all is evaluated WITHOUT a
+        candidate set. `X AND NOT Y` — the dominant negative shape — is
+        evaluated as subtraction from the positive conjunction, so it never
+        touches the universe (Lucene's ReqExcl scorer, not a complement
+        bitset)."""
+        if isinstance(n, _MatchAll):
+            return not has_cand
+        if isinstance(n, Not):
+            return (not has_cand) or _needs_universe(n.part, True)
+        if isinstance(n, And):
+            pos = [p for p in n.parts if not isinstance(p, Not)]
+            neg = [p for p in n.parts if isinstance(p, Not)]
+            if not pos:
+                return ((not has_cand)
+                        or any(_needs_universe(q.part, True) for q in neg))
+            order = ([p for p in pos if not _is_multi_phrase(p)]
+                     + [p for p in pos if _is_multi_phrase(p)])
+            return (_needs_universe(order[0], has_cand)
+                    or any(_needs_universe(p, True) for p in order[1:])
+                    or any(_needs_universe(q.part, True) for q in neg))
+        if isinstance(n, Or):
+            return any(_needs_universe(p, has_cand) for p in n.parts)
         return False
 
-    # the doclen sidecar (the segment's doc universe) is needed only for
-    # NOT / match-all — a positive-only boolean skips shipping and decoding
-    # it (at a 10^7-doc segment that row is the largest blob in the scan)
-    needs_universe = _has_universe_atom(node)
+    needs_universe = _needs_universe(node, False)
     combined = None
     if needs_universe:
         combined = F.col("term").isNull()
@@ -475,9 +494,14 @@ def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
         # no atoms at all and no universe need: nothing can match
         return spark.createDataFrame([], "doc_id long")
     cols = ["seg_id", "term", "doc_blob"]
+    live = read_live_segments(spark, paths)
+    has_bpe = False
     if phrases:
         cols += ["tf_blob", "pos_blob"]
-    segs = read_live_segments(spark, paths).where(combined).select(*cols)
+        has_bpe = "block_pos_ends" in live.columns
+        if has_bpe:
+            cols.append("block_pos_ends")
+    segs = live.where(combined).select(*cols)
 
     ph_defs = [(k, toks, slop) for k, toks, slop in phrases]
     ph_token_set = set(ph_tokens)
@@ -525,25 +549,52 @@ def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
                 pat_sets[k] = (np.unique(np.concatenate(parts))
                                if parts else nothing)
 
-        ph_sets: dict[str, np.ndarray] = {}
+        # phrases: positions decode LAZILY per evaluation, restricted to the
+        # current candidate set — under `A AND "x y"` only candidate blocks
+        # of the position stream are touched (gather_candidate_positions),
+        # so phrase cost tracks the conjunction's selectivity, not corpus
+        # size. Unrestricted evaluations (phrase as the only positive, or
+        # under a bare OR) memoize on the phrase key.
+        raw_pos: dict[str, tuple] = {}
         if ph_defs:
-            plists: dict[str, tuple] = {}
-            for term, dblob, tblob, pblob in zip(
+            bpes = (term_rows["block_pos_ends"] if has_bpe
+                    else [None] * len(term_rows))
+            for term, dblob, tblob, pblob, bpe in zip(
                     term_rows["term"], term_rows["doc_blob"],
-                    term_rows["tf_blob"], term_rows["pos_blob"]):
+                    term_rows["tf_blob"], term_rows["pos_blob"], bpes):
                 if term in ph_token_set and pblob is not None:
                     tfs = varbyte_decode(bytes(tblob)).astype(np.int64)
-                    flat, bounds = decode_position_stream(bytes(pblob), tfs)
-                    plists[term] = (docsets[term], flat, bounds)
-            for k, toks, slop in ph_defs:
-                distinct = list(dict.fromkeys(toks))
-                if all(t in plists for t in distinct):
-                    d, _ = _phrase_seg_match(plists, distinct, toks, slop)
-                    ph_sets[k] = d
-                else:
-                    ph_sets[k] = nothing
+                    raw_pos[term] = (
+                        docsets[term], tfs, bytes(pblob),
+                        None if bpe is None else np.asarray(bpe, np.int64))
 
-        def ev(n) -> np.ndarray:
+        from ..queryparser import phrase_key as _pk
+        from .query import _lazy_plists
+
+        ph_memo: dict[str, np.ndarray] = {}
+
+        def ph_eval(toks, slop, cand) -> np.ndarray:
+            k = _pk(toks, slop)
+            if cand is None and k in ph_memo:
+                return ph_memo[k]
+            distinct = list(dict.fromkeys(toks))
+            if not all(t in raw_pos for t in distinct):
+                return nothing
+            _, plists = _lazy_plists(
+                {t: raw_pos[t] for t in distinct}, distinct, cand)
+            if plists is None:
+                d = nothing
+            else:
+                d, _ = _phrase_seg_match(plists, distinct, toks, slop)
+            if cand is None:
+                ph_memo[k] = d
+            return d
+
+        def ev(n, cand=None) -> np.ndarray:
+            """Contract: matches(n) ∩ cand ⊆ result ⊆ matches(n) (with
+            cand=None: result == matches(n)). Intersections/subtractions
+            against a running candidate set therefore stay exact while
+            letting every subtree skip work outside the candidates."""
             if isinstance(n, (Term, Phrase, FieldText)):
                 toks = _atom_tokens(n)
                 if not toks:
@@ -551,7 +602,7 @@ def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
                 if len(toks) == 1:
                     return docsets.get(toks[0], nothing)
                 slop = n.slop if isinstance(n, (Phrase, FieldText)) else 0
-                return ph_sets.get(phrase_key(toks, slop), nothing)
+                return ph_eval(toks, slop, cand)
             if isinstance(n, Wildcard):
                 return pat_sets[wildcard_key(n.text)]
             if isinstance(n, Regexp):
@@ -559,20 +610,38 @@ def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
             if isinstance(n, Fuzzy):
                 return pat_sets[fuzzy_key(n.text, n.max_edits)]
             if isinstance(n, MatchAll):
-                return universe
+                return universe if cand is None else cand
             if isinstance(n, And):
-                r = ev(n.parts[0])
-                for p in n.parts[1:]:
+                pos = [p for p in n.parts if not isinstance(p, Not)]
+                neg = [p for p in n.parts if isinstance(p, Not)]
+                if pos:
+                    # cheap atoms first, multi-token phrases last so their
+                    # position decode sees the narrowest candidate set
+                    order = ([p for p in pos if not _is_multi_phrase(p)]
+                             + [p for p in pos if _is_multi_phrase(p)])
+                    r = ev(order[0], cand)
+                    if cand is not None:
+                        r = np.intersect1d(r, cand, assume_unique=True)
+                    for p in order[1:]:
+                        if r.size == 0:
+                            return r
+                        r = np.intersect1d(r, ev(p, r), assume_unique=True)
+                else:
+                    # pure-negative: complement of the union, over the
+                    # candidates when given, else the segment universe
+                    r = universe if cand is None else cand
+                for q in neg:
                     if r.size == 0:
                         return r
-                    r = np.intersect1d(r, ev(p), assume_unique=True)
+                    r = np.setdiff1d(r, ev(q.part, r), assume_unique=True)
                 return r
             if isinstance(n, Or):
-                rs = [ev(p) for p in n.parts]
+                rs = [ev(p, cand) for p in n.parts]
                 rs = [r for r in rs if r.size]
                 return (np.unique(np.concatenate(rs)) if rs else nothing)
             if isinstance(n, Not):
-                return np.setdiff1d(universe, ev(n.part),
+                base = universe if cand is None else cand
+                return np.setdiff1d(base, ev(n.part, base),
                                     assume_unique=True)
             raise ValueError(f"non-text atom in matching_ids: {n!r}")
 

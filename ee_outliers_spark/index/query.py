@@ -283,6 +283,40 @@ def _ragged_gather(flat: np.ndarray, bounds: np.ndarray,
     return vals.astype(np.int64), owner
 
 
+def _lazy_plists(raw: dict, distinct: list[str],
+                 cand: np.ndarray | None = None):
+    """(inter, plists) for one phrase within one segment, decoding positions
+    ONLY for docs in the conjunction (optionally further restricted to
+    ``cand``). ``raw``: term → (docs, tfs, pos_blob, block_pos_ends|None).
+    With block_pos_ends present (current index format), decode cost is
+    O(touched 128-posting blocks) via gather_candidate_positions — the
+    phrase path stops paying O(total positions) per segment (the one
+    corpus-linear term the round-5 scale probe measured). Old indexes
+    (bpe None) fall back to full decode. plists[t] = (inter, vals,
+    bounds) is shaped for _phrase_seg_match, whose own inter/gather over
+    it is an identity pass."""
+    from .codec import gather_candidate_positions
+
+    inter = raw[distinct[0]][0]
+    for t in distinct[1:]:
+        inter = np.intersect1d(inter, raw[t][0], assume_unique=True)
+    if cand is not None:
+        inter = np.intersect1d(inter, cand, assume_unique=True)
+    if inter.size == 0:
+        return inter, None
+    plists: dict[str, tuple] = {}
+    for t in distinct:
+        docs, tfs, pblob, bpe = raw[t]
+        if bpe is None:
+            flat, bounds = decode_position_stream(pblob, tfs)
+            vals, _ = _ragged_gather(flat, bounds, docs, inter)
+        else:
+            vals, _ = gather_candidate_positions(pblob, tfs, bpe, docs, inter)
+        cnt = tfs[np.searchsorted(docs, inter)]
+        plists[t] = (inter, vals, np.cumsum(cnt))
+    return inter, plists
+
+
 def _phrase_seg_match(plists: dict, distinct: list[str],
                       phrase_terms: list[str], slop: int
                       ) -> tuple[np.ndarray, np.ndarray]:
@@ -448,9 +482,14 @@ def _phrase_hits(spark: SparkSession, paths: IndexPaths,
     side_pred = F.col("term").isNull()
     if side_term is not None:
         side_pred = side_pred | (F.col("term") == side_term)
-    segs = read_live_segments(spark, paths).where(
+    seg_cols = ["seg_id", "term", "doc_blob", "tf_blob", "pos_blob"]
+    live = read_live_segments(spark, paths)
+    has_bpe = "block_pos_ends" in live.columns
+    if has_bpe:
+        seg_cols.append("block_pos_ends")
+    segs = live.where(
         F.col("term").isin(distinct) | side_pred
-    ).select("seg_id", "term", "doc_blob", "tf_blob", "pos_blob")
+    ).select(*seg_cols)
 
     phrase_terms = list(toks)  # ordered, with duplicates
 
@@ -470,14 +509,19 @@ def _phrase_hits(spark: SparkSession, paths: IndexPaths,
         dl_docs = np.cumsum(
             varbyte_decode(bytes(dl_rows["doc_blob"].iloc[0]))).astype(np.int64)
         dl_vals = varbyte_decode(bytes(dl_rows["tf_blob"].iloc[0])).astype(np.int64)
-        plists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        for term, dblob, tblob, pblob in zip(
+        raw: dict[str, tuple] = {}
+        bpes = (term_rows["block_pos_ends"] if has_bpe
+                else [None] * len(term_rows))
+        for term, dblob, tblob, pblob, bpe in zip(
                 term_rows["term"], term_rows["doc_blob"],
-                term_rows["tf_blob"], term_rows["pos_blob"]):
+                term_rows["tf_blob"], term_rows["pos_blob"], bpes):
             docs = np.cumsum(varbyte_decode(bytes(dblob))).astype(np.int64)
             tfs = varbyte_decode(bytes(tblob)).astype(np.int64)
-            flat, bounds = decode_position_stream(bytes(pblob), tfs)
-            plists[term] = (docs, flat, bounds)
+            raw[term] = (docs, tfs, bytes(pblob),
+                         None if bpe is None else np.asarray(bpe, np.int64))
+        inter, plists = _lazy_plists(raw, distinct)
+        if plists is None:
+            return empty
         d, tfs_arr = _phrase_seg_match(plists, distinct, phrase_terms, slop)
         if d.size == 0:
             return empty

@@ -66,8 +66,11 @@ try:
     t0 = time.monotonic()
     write_manifest(spark, paths, list(range(128)), {"k": "phase"}, 0.0,
                    segs=seg_df)
+    timings["manifest"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
     refresh_stats_and_termstats(spark, paths, 128, segs=seg_df)
-    timings["manifest_stats"] = round(time.monotonic() - t0, 3)
+    timings["stats_termstats"] = round(time.monotonic() - t0, 3)
     seg_df.unpersist()
 finally:
     shutil.rmtree(out, ignore_errors=True)

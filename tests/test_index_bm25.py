@@ -206,6 +206,11 @@ def test_matching_ids_postings_only(spark, documents, pos_paths):
         "*",                                # match_all → whole universe
         'window NOT (customer OR "key order")',
         "nosuchterm",                       # nothing matches
+        "NOT batch AND NOT window",         # pure-negative conjunction
+        'batch OR NOT "key order"',         # Not under Or (universe path)
+        'batch AND "key order"',            # phrase restricted by sibling
+        'batch AND NOT "key order"~1',      # subtracted sloppy phrase
+        '(window OR batch) AND NOT (cust* AND NOT batch)',  # nested Not
     ]:
         node = parse_query_string(qs)
         assert text_only(node, positional=True), qs
@@ -229,6 +234,12 @@ def test_matching_ids_postings_only(spark, documents, pos_paths):
         spark, pos_paths, parse_query_string("NOT window")
     )._jdf.queryExecution().optimizedPlan().toString().lower()
     assert "isnull(term" in neg_plan
+    # `X AND NOT Y` evaluates the NOT as subtraction from the positive
+    # conjunction (Lucene ReqExcl) — no universe row in the scan either
+    req_excl_plan = matching_ids(
+        spark, pos_paths, parse_query_string('window AND NOT "batch batch"')
+    )._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "isnull(term" not in req_excl_plan
 
 
 def test_matching_ids_agrees_on_full_query_corpus(spark, documents,
@@ -524,17 +535,18 @@ def test_text_kernel_matches_pair_stream_segments(spark, documents):
             )
         return out
 
-    for fields in ((), ("title",)):
-        got = key_rows(segment_frames_df(
-            base, 4, True, analyzed_fields=fields,
-            via_text=True).collect())
-        pairs = _pair_stream(base, 4, positions=True,
-                             analyzed_fields=fields)
-        want = key_rows(pairs.groupBy("seg_id").applyInPandas(
-            _pairs_segment_frame, schema=SEGMENT_SCHEMA).collect())
-        assert set(got) == set(want), fields
-        for k in want:
-            assert got[k] == want[k], (fields, k)
+    for positional in (True, False):
+        for fields in ((), ("title",)):
+            got = key_rows(segment_frames_df(
+                base, 4, positional, analyzed_fields=fields,
+                via_text=True).collect())
+            pairs = _pair_stream(base, 4, positions=positional,
+                                 analyzed_fields=fields)
+            want = key_rows(pairs.groupBy("seg_id").applyInPandas(
+                _pairs_segment_frame, schema=SEGMENT_SCHEMA).collect())
+            assert set(got) == set(want), (positional, fields)
+            for k in want:
+                assert got[k] == want[k], (positional, fields, k)
 
 
 def test_phrase_seg_match_repeated_sloppy_randomized():
