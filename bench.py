@@ -290,7 +290,8 @@ def worker(out_path: str | None) -> None:
                 spark, bpos, big, "doc_id", "text", fq,
                 ["doc_id", "text"]).count(), reps=LAT_REPS)
             btimed("qs_count", lambda: matching_ids(
-                spark, bpos, fq).count(), reps=LAT_REPS)
+                spark, bpos, fq, count_only=True).agg(
+                {"cnt": "sum"}).collect(), reps=LAT_REPS)
         finally:
             shutil.rmtree(big_pos_dir, ignore_errors=True)
         big.unpersist()

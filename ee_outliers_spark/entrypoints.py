@@ -447,9 +447,12 @@ def count_matches_suite(spark, sf_dir):
         parse_query_string(_COUNT_QS), DOC_COLS,
     ).agg(F.count("*").cast("long").alias("n_matches")).select(
         F.lit("scan").alias("variant"), "n_matches")
+    # count_only: the per-segment evaluator emits ONE count row per segment
+    # (ES _count returns a number — output is O(segments), not O(matches))
     textonly = matching_ids(
-        spark, paths, parse_query_string(_TEXTONLY_QS),
-    ).agg(F.count("*").cast("long").alias("n_matches")).select(
+        spark, paths, parse_query_string(_TEXTONLY_QS), count_only=True,
+    ).agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long")
+          .alias("n_matches")).select(
         F.lit("textonly").alias("variant"), "n_matches")
     return scan.unionByName(textonly)
 

@@ -782,17 +782,27 @@ def auto_num_segments(spark: SparkSession, n_docs: int,
     rounds UP to ≥2 waves (2× parallelism) — measured on the 600k bench
     corpus, 37 segments on 32 cores (1.16 waves) made conjunction queries
     2× slower than 128 (straggler tail of a fractional second wave), while
-    ≥2 full waves smooth it. The budget itself is an upper bound on segment
-    SIZE, so rounding the count up is always memory-safe. The cap bounds
-    the partition-directory count for one index — a corpus that would
-    exceed it (≫10^8 docs) should shard into multiple indexes (by
+    ≥2 full waves smooth it. Above that, the count rounds DOWN to a WHOLE
+    multiple of the core count: per-segment query overhead is linear in
+    segment count (round-6 decomposition, BENCH.md — the same 2.4M corpus
+    answered qs_count in 0.80 s at 64 segments vs 1.00 s at 147), and a
+    ragged last wave (147 segs = 4.6 waves) pays a straggler tail on every
+    query, so 147 → 128 (4 exact waves) is strictly better; the ≤1.5×
+    stretch guard keeps the implied segment size near the memory budget
+    (floor rounding at ≥2 waves can never exceed it anyway). The cap
+    bounds the partition-directory count for one index — a corpus that
+    would exceed it (≫10^8 docs) should shard into multiple indexes (by
     day/tenant), which the day-partitioned layout already does.
     """
     cores = spark.sparkContext.defaultParallelism
     need = math.ceil(max(1, n_docs) / docs_per_segment)
     if need <= cores:
         return cores
-    return min(cap, max(need, 2 * cores))
+    waves = max(2, need // cores)
+    nseg = waves * cores
+    if need / nseg > 1.5:  # unreachable for waves>=2; guards future edits
+        nseg = math.ceil(need / cores) * cores
+    return min(cap, nseg)
 
 
 def build_segments(

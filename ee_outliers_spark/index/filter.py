@@ -400,7 +400,8 @@ def _pattern_specs(node) -> dict[str, tuple | None]:
     return out
 
 
-def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
+def matching_ids(spark: SparkSession, paths: IndexPaths, node,
+                 count_only: bool = False) -> DataFrame:
     """doc_ids matching a text-only boolean, evaluated ENTIRELY over posting
     lists with ZERO doc-keyed shuffle — the ES filter-context / _count fast
     path (ref S2 /root/reference/app/helpers/es.py:143-158: a count query
@@ -490,9 +491,10 @@ def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
     for _, p in pattern_preds:
         if p is not None:
             combined = p if combined is None else combined | p
+    out_schema = "cnt long" if count_only else "doc_id long"
     if combined is None:
         # no atoms at all and no universe need: nothing can match
-        return spark.createDataFrame([], "doc_id long")
+        return spark.createDataFrame([], out_schema)
     cols = ["seg_id", "term", "doc_blob"]
     live = read_live_segments(spark, paths)
     has_bpe = False
@@ -507,7 +509,9 @@ def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
     ph_token_set = set(ph_tokens)
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        empty_pdf = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        empty_pdf = pd.DataFrame(
+            {("cnt" if count_only else "doc_id"):
+             pd.Series(dtype="int64")})
         universe = np.empty(0, dtype=np.int64)
         if needs_universe:
             dl_rows = pdf[pdf["term"].isna()]
@@ -645,9 +649,15 @@ def matching_ids(spark: SparkSession, paths: IndexPaths, node) -> DataFrame:
                                     assume_unique=True)
             raise ValueError(f"non-text atom in matching_ids: {n!r}")
 
-        return pd.DataFrame({"doc_id": ev(node)})
+        ids = ev(node)
+        if count_only:
+            # the _count fast path ships ONE row per segment instead of the
+            # matched ids — output size O(segments), not O(matches) (ES
+            # _count returns a number; so do we)
+            return pd.DataFrame({"cnt": [int(ids.size)]})
+        return pd.DataFrame({"doc_id": ids})
 
-    return segs.groupBy("seg_id").applyInPandas(run, schema="doc_id long")
+    return segs.groupBy("seg_id").applyInPandas(run, schema=out_schema)
 
 
 def indexed_filter(

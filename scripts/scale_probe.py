@@ -28,7 +28,8 @@ REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 MULTS = [int(x) for x in
          os.environ.get("SPARK_GRAFT_SCALE_MULTS", "120,480").split(",")]
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "bench_evidence", "scale_probe_r5")
+    os.path.abspath(__file__))), "bench_evidence",
+    os.environ.get("SPARK_GRAFT_PROBE_OUT", "scale_probe_r6"))
 
 
 def worker(mult: int) -> None:
@@ -75,7 +76,9 @@ def worker(mult: int) -> None:
             return {"p50_s": round(samples[len(samples) // 2], 3),
                     "min_s": round(samples[0], 3)}
 
-        out["qs_count"] = lat(lambda: matching_ids(spark, paths, fq).count())
+        out["qs_count"] = lat(lambda: matching_ids(
+            spark, paths, fq, count_only=True).agg(
+            {"cnt": "sum"}).collect())
         out["qs_filter"] = lat(lambda: indexed_filter(
             spark, paths, big, "doc_id", "text", fq,
             ["doc_id", "text"]).count())
