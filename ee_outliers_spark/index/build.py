@@ -310,29 +310,41 @@ def _assemble_segment(seg_id: int, doc_ids_sorted: np.ndarray,
 
 
 def _pairs_segment_frame(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    """Encoding kernel (applyInPandas, grouped by seg_id): input is the
-    COMPACT pair stream — (seg_id, term, doc_id, cnt) where term rows carry
-    tf and term-NULL rows carry the doc's length. Tokenization and counting
-    already happened JVM-side (whole-stage codegen explode + hash agg with
-    map-side combine), so the Python bridge moves index-sized data — never
-    the corpus text. On syscall-expensive hosts that is the difference
-    between corpus-bound and index-bound build time; at 10^12 docs it is the
-    difference between shipping ~PBs vs ~TBs into Python workers."""
+    """Encoding kernel (applyInPandas, grouped by the segment ROUTE key —
+    seg_id rides as a column): input is the COMPACT pair stream —
+    (seg_id, term, doc_id, cnt) where term rows carry tf and term-NULL rows
+    mark doc membership (one zero row per doc, so empty docs still exist).
+    Tokenization and counting already happened JVM-side (whole-stage codegen
+    explode + hash agg with map-side combine), so the Python bridge moves
+    index-sized data — never the corpus text. Doc lengths are Σtf per doc
+    (the same tokenizer counted both, so the sums ARE the token counts —
+    byte-identical segments, pinned by the kernel differential test), which
+    lets the pair stream skip a second corpus-wide tokenize pass for
+    lengths. At 10^12 docs this is the difference between shipping ~PBs vs
+    ~TBs into Python workers — and tokenizing the corpus once, not twice."""
     t0 = time.monotonic()
-    seg_id = int(key[0])
     dl_rows = pdf[pdf["term"].isna()]
-    notna = pdf[pdf["term"].notna()]
-    fmask = notna["term"].str.endswith(":")
+    seg_id = int(dl_rows["seg_id"].iloc[0]) if len(dl_rows) else int(
+        pdf["seg_id"].iloc[0])
+    term_rows = pdf[pdf["term"].notna()]
+    docs_sorted = np.sort(dl_rows["doc_id"].to_numpy(dtype=np.int64))
+    fmask = term_rows["term"].str.contains(":", regex=False)  # "f:tok" rows
     field_sidecars = {}
-    for fterm, grp in notna[fmask].groupby("term", sort=True):
-        o = np.argsort(grp["doc_id"].to_numpy(), kind="stable")
-        field_sidecars[fterm] = (
-            grp["doc_id"].to_numpy(dtype=np.int64)[o],
-            grp["cnt"].to_numpy(dtype=np.int64)[o])
-    term_rows = notna[~fmask]
-    order = np.argsort(dl_rows["doc_id"].to_numpy(), kind="stable")
-    docs_sorted = dl_rows["doc_id"].to_numpy(dtype=np.int64)[order]
-    dls_sorted = dl_rows["cnt"].to_numpy(dtype=np.int64)[order]
+    if fmask.any():
+        frows = term_rows[fmask]
+        fkey = frows["term"].str.split(":", n=1).str[0] + ":"
+        for fterm, grp in frows.groupby(fkey, sort=True):
+            s = grp.groupby("doc_id")["cnt"].sum().sort_index()
+            field_sidecars[str(fterm)] = (
+                s.index.to_numpy(dtype=np.int64),
+                s.to_numpy(dtype=np.int64))
+        main_rows = term_rows[~fmask]
+    else:
+        main_rows = term_rows
+    dls_sorted = (
+        main_rows.groupby("doc_id")["cnt"].sum()
+        .reindex(docs_sorted, fill_value=0)
+        .to_numpy(dtype=np.int64))
     cols = ["term", "doc_id", "cnt"] + (["poss"] if "poss" in pdf.columns else [])
     tf = (
         term_rows[cols]
@@ -347,9 +359,14 @@ def _pairs_segment_frame(key, pdf: pd.DataFrame) -> pd.DataFrame:
 def _pair_stream(base: DataFrame, num_segments: int,
                  positions: bool = False,
                  analyzed_fields: tuple[str, ...] = ()) -> DataFrame:
-    """(seg_id, term, doc_id, cnt[, poss]): per-(term,doc) tf rows + term-NULL
-    doclen rows — all JVM-side (tokenize via codegen split/filter; one shuffle
-    with partial aggregation collapsing duplicate tokens map-side).
+    """(seg_id, term, doc_id, cnt[, poss]): per-(term,doc) tf rows + one
+    term-NULL membership row per doc — all JVM-side (tokenize via codegen
+    split/filter; one shuffle with partial aggregation collapsing duplicate
+    tokens map-side). Doc LENGTHS are not computed here: the encoding kernel
+    derives dl = Σtf per doc from the tf rows it already holds (same
+    tokenizer ⇒ same counts), so the corpus text is tokenized exactly ONCE —
+    the membership rows only exist so zero-token docs still enter the doc
+    table (3 ints/doc, negligible next to the pair stream).
 
     With ``positions=True`` the explode keeps each token's array index
     (posexplode) and the agg carries ``sort_array(collect_list(pos))`` — the
@@ -363,12 +380,13 @@ def _pair_stream(base: DataFrame, num_segments: int,
     same dictionary as ``field:token`` entries (the ':' cannot collide with
     main-text terms, which are [a-z0-9]+). Positions are the field's own
     token offsets, so per-field phrases intersect exactly like main-text
-    phrases. Per-field terms do NOT contribute to the doclen sidecar — the
-    engine's documented field-scoring norm is the main-text length."""
+    phrases. Per-field terms do NOT contribute to the MAIN doclen — each
+    field gets its own norm sidecar (dl = Σ field-tf in the kernel), Lucene's
+    per-field .nvd length normalization."""
     seg = (F.col("doc_id") % num_segments).cast("int").alias("seg_id")
     dl = base.select(
         seg, F.lit(None).cast("string").alias("term"), F.col("doc_id"),
-        F.size(tokens_col("text")).cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("cnt"),
     )
 
     def tf_of(col: str, prefix: str) -> DataFrame:
@@ -395,15 +413,10 @@ def _pair_stream(base: DataFrame, num_segments: int,
 
     tf = tf_of("text", "")
     for f in analyzed_fields:
+        # per-field doclens (Lucene's .nvd norms) also come from Σtf in the
+        # kernel: a doc has a field-norm row iff it has ≥1 "f:tok" tf row —
+        # exactly the old `.where(cnt > 0)` stream, without re-tokenizing
         tf = tf.unionByName(tf_of(f.lower(), f.lower() + ":"))
-        # the field's own doclen stream (term = "field:", cnt = field token
-        # count, docs with ≥1 token only) — becomes the per-field norm
-        # sidecar row, Lucene's .nvd per-field length normalization
-        dl = dl.unionByName(
-            base.select(
-                seg, F.lit(f.lower() + ":").alias("term"), F.col("doc_id"),
-                F.size(tokens_col(f.lower())).cast("long").alias("cnt"),
-            ).where(F.col("cnt") > 0))
     if positions:
         dl = dl.withColumn("poss", F.lit(None).cast("array<int>"))
         return tf.unionByName(dl)
@@ -435,7 +448,7 @@ def _text_segment_kernel(analyzed_fields: tuple[str, ...] = (),
         import itertools
 
         t0 = time.monotonic()
-        seg_id = int(key[0])
+        seg_id = int(pdf["seg_id"].iloc[0])  # grouped by the route key
         pdf = pdf.sort_values("doc_id")
         docs_sorted = pdf["doc_id"].to_numpy(np.int64)
         tok_lists = pdf["text"].fillna("").str.lower().str.findall(
@@ -541,6 +554,100 @@ def _text_segment_kernel(analyzed_fields: tuple[str, ...] = (),
 POSITIONAL_KERNEL = os.environ.get("SPARK_GRAFT_POS_KERNEL", "text")
 
 
+_M32 = (1 << 32) - 1
+
+
+def _mm3_int32(x: int, seed: int = 42) -> int:
+    """Murmur3_x86_32 of one int32 — Spark's ``Murmur3Hash`` (= ``F.hash``)
+    for IntegerType, which is also what hash partitioning
+    (``repartition(n, col)``) runs. Pinned against ``F.hash`` by
+    tests/test_index_bm25.py::test_segment_routing_is_one_task_per_segment."""
+    k1 = (x & _M32) * 0xCC9E2D51 & _M32
+    k1 = ((k1 << 15 | k1 >> 17) & _M32) * 0x1B873593 & _M32
+    h1 = seed ^ k1
+    h1 = ((h1 << 13 | h1 >> 19) & _M32) * 5 + 0xE6546B64 & _M32
+    h1 ^= 4  # total byte length
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & _M32
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & _M32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _route_keys(n: int) -> list[int]:
+    """n int32 values whose Spark hash-partition assignment
+    (``pmod(murmur3(x), n)``) is a BIJECTION onto 0..n-1: routes[p] lands in
+    partition p. Grouping segments by these keys puts EXACTLY one segment in
+    each reduce task. Plain ``groupBy(seg_id)`` hashes the segment keys into
+    ``spark.sql.shuffle.partitions`` buckets binomially — measured on
+    128 segments: the busiest of 16 reducers packs 12 segments (1.5× the
+    mean) vs 41/32 (1.28×) on 4 reducers, a deterministic straggler tail
+    that alone costs ~15 points of 4→16 scaling efficiency on the pack
+    stage. Coupon-collector scan, ~n·ln n probes, microseconds for n≤4096."""
+    routes: list[int | None] = [None] * n
+    found = 0
+    x = 0
+    while found < n:
+        p = _mm3_int32(x) % n  # python % of signed == Java pmod
+        if routes[p] is None:
+            routes[p] = x
+            found += 1
+        x += 1
+    return routes  # type: ignore[return-value]
+
+
+def _routed_by_segment(df: DataFrame, num_segments: int,
+                       seg_offset: int = 0):
+    """Exchange ``df`` so each segment occupies its own partition (1 task =
+    1 segment), then group by the routing key. Wave counts are exact
+    (num_segments is wave-aligned by auto_num_segments) and no reducer ever
+    packs 2+ segments while another sits idle — on a 1000-executor cluster
+    this is segment→reducer placement, the thing HashPartitioning alone
+    cannot guarantee."""
+    routes = _route_keys(num_segments)
+    route_arr = F.array(*[F.lit(int(r)) for r in routes])
+    routed = df.withColumn(
+        "_route",
+        F.element_at(route_arr,
+                     (F.col("seg_id") - int(seg_offset) + 1).cast("int")))
+    return routed.repartition(num_segments, "_route").groupBy("_route")
+
+
+def live_seg_ids(stats: dict) -> list[int] | None:
+    """The commit point's live segment ids (for routing), or None when the
+    stats predate live tracking."""
+    live = stats.get("live_segments")
+    if live is not None:
+        return [int(s) for s in live]
+    n = stats.get("num_segments")
+    return list(range(int(n))) if n else None
+
+
+def routed_segment_groupby(df: DataFrame, seg_ids: list[int] | None,
+                           col: str = "seg_id"):
+    """``df.groupBy("seg_id")`` with guaranteed one-segment-per-reduce-
+    partition placement (see ``_route_keys``): the per-segment query kernels
+    (WAND, phrase intersection, filter set-algebra, posting decode) each
+    process one segment per task instead of however many segments Spark's
+    hash happens to pack into ``shuffle.partitions`` buckets — on 128 live
+    segments over 32 shuffle partitions the busiest reducer otherwise packs
+    ~2× the mean and gates the whole query. Kernels must read seg_id from
+    the pdf (none of the query kernels use the group key). Falls back to the
+    plain groupBy when the live list is unknown (pre-routing index dirs)."""
+    if not seg_ids:
+        return df.groupBy(col)
+    ids = sorted({int(s) for s in seg_ids})
+    routes = _route_keys(len(ids))
+    mapping = F.create_map(*[F.lit(int(v)) for s, r in zip(ids, routes)
+                             for v in (s, r)])
+    routed = df.withColumn(
+        "_route",
+        F.coalesce(mapping[F.col(col)],
+                   (-F.col(col) - 1).cast("int")))
+    return routed.repartition(len(ids), "_route").groupBy("_route")
+
+
 def segment_frames_df(base: DataFrame, num_segments: int, positions: bool,
                       analyzed_fields: tuple[str, ...] = (),
                       seg_offset: int = 0,
@@ -562,7 +669,7 @@ def segment_frames_df(base: DataFrame, num_segments: int, positions: bool,
         if todo is not None:
             src = src.where(F.col("seg_id").isin(
                 [int(s) + int(seg_offset) for s in todo]))
-        return src.groupBy("seg_id").applyInPandas(
+        return _routed_by_segment(src, num_segments, seg_offset).applyInPandas(
             _text_segment_kernel(tuple(analyzed_fields), positions=positions),
             schema=SEGMENT_SCHEMA)
     pairs = _pair_stream(base, num_segments, positions=positions,
@@ -573,7 +680,7 @@ def segment_frames_df(base: DataFrame, num_segments: int, positions: bool,
     if todo is not None:
         pairs = pairs.where(F.col("seg_id").isin(
             [int(s) + int(seg_offset) for s in todo]))
-    return pairs.groupBy("seg_id").applyInPandas(
+    return _routed_by_segment(pairs, num_segments, seg_offset).applyInPandas(
         _pairs_segment_frame, schema=SEGMENT_SCHEMA)
 
 

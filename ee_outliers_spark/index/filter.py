@@ -34,7 +34,9 @@ from ..queryparser import (
     to_spark_predicate, wildcard_key,
 )
 from ..tokenizer import tokenize_py
-from .build import IndexPaths, read_live_segments
+from .build import (
+    IndexPaths, live_seg_ids, read_live_segments, routed_segment_groupby,
+)
 from .codec import varbyte_decode
 
 MATCH_COL = "_matched_terms"
@@ -657,7 +659,8 @@ def matching_ids(spark: SparkSession, paths: IndexPaths, node,
             return pd.DataFrame({"cnt": [int(ids.size)]})
         return pd.DataFrame({"doc_id": ids})
 
-    return segs.groupBy("seg_id").applyInPandas(run, schema=out_schema)
+    return routed_segment_groupby(
+        segs, live_seg_ids(stats)).applyInPandas(run, schema=out_schema)
 
 
 def indexed_filter(

@@ -46,8 +46,8 @@ from pyspark.sql import functions as F
 
 from .build import (
     SEGMENT_SCHEMA, IndexPaths, commit_stats, load_stats,
-    read_live_segments, refresh_stats_and_termstats, segment_frame,
-    write_manifest,
+    read_live_segments, refresh_stats_and_termstats, routed_segment_groupby,
+    segment_frame, write_manifest,
 )
 from .codec import decode_position_stream, varbyte_decode
 
@@ -234,9 +234,13 @@ def merge_segments(spark: SparkSession, paths: IndexPaths, fanin: int = 4) -> No
     grouped = segs.withColumn("new_seg", mapping[F.col("seg_id")])
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return _merge_group(pdf, int(key[0]))
+        return _merge_group(pdf, int(pdf["new_seg"].iloc[0]))
 
-    merged = grouped.groupBy("new_seg").applyInPandas(run, schema=SEGMENT_SCHEMA)
+    # route each output segment to its own reduce task (same placement
+    # guarantee as the build/query exchanges — see routed_segment_groupby)
+    merged = routed_segment_groupby(
+        grouped, new_ids, col="new_seg").applyInPandas(
+        run, schema=SEGMENT_SCHEMA)
     merged.write.mode("append").partitionBy("seg_id").parquet(paths.segments)
 
     stats["live_segments"] = new_ids

@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 
 from ..tokenizer import tokenize_py, tokens_col
 from .build import (
-    B, K1, IndexPaths, block_upper_bound, load_stats, read_live_segments,
+    B, K1, IndexPaths, block_upper_bound, live_seg_ids, load_stats,
+    read_live_segments, routed_segment_groupby,
 )
 from .codec import decode_position_stream, varbyte_decode
 
@@ -531,7 +532,7 @@ def _phrase_hits(spark: SparkSession, paths: IndexPaths,
             "dl": dl_vals[np.searchsorted(dl_docs, d)],
         })
 
-    return segs.groupBy("seg_id").applyInPandas(
+    return routed_segment_groupby(segs, live_seg_ids(stats)).applyInPandas(
         run, schema="doc_id long, tf long, dl long")
 
 
@@ -639,7 +640,8 @@ def posting_tfs_df(spark: SparkSession, paths: IndexPaths,
             "dl": np.concatenate(dls),
         })
 
-    return segs.groupBy("seg_id").applyInPandas(
+    return routed_segment_groupby(
+        segs, live_seg_ids(load_stats(paths))).applyInPandas(
         decode, schema="term string, doc_id long, tf long, dl long")
 
 
@@ -1400,5 +1402,6 @@ def bm25_topk_wand(
             res = _or_segment(cursors, k, avgdl)
         return pd.DataFrame(res, columns=["doc_id", "score"])
 
-    local = segs.groupBy("seg_id").applyInPandas(run, schema=TOPK_SCHEMA)
+    local = routed_segment_groupby(segs, live_seg_ids(stats)).applyInPandas(
+        run, schema=TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1166,14 +1166,19 @@ def dsl_to_ast(d: dict):
                 # marker path already handles And/Or). Bounded: ES bool
                 # queries carry a handful of should clauses; C(n, m) beyond
                 # the cap signals a misuse, not a query.
+                import math
                 from itertools import combinations
 
-                combos = list(combinations(clauses, msm))
-                if len(combos) > 200:
+                # check the count ARITHMETICALLY before enumerating:
+                # materializing C(n, m) tuples first means C(30, 15) ≈ 1.5e8
+                # allocations (~12 GB, minutes of CPU) just to learn the
+                # query is over the cap
+                if math.comb(len(clauses), msm) > 200:
                     raise ValueError(
                         f"minimum_should_match={msm} over {len(clauses)} "
                         "should clauses expands past 200 conjunctions")
-                parts.append(Or([And(list(cb)) for cb in combos]))
+                parts.append(Or([And(list(cb))
+                                 for cb in combinations(clauses, msm)]))
         must_not = body.get("must_not", [])
         must_not = must_not if isinstance(must_not, list) else [must_not]
         parts.extend(Not(dsl_to_ast(c)) for c in must_not)

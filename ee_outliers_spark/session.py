@@ -21,6 +21,11 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    _mem = os.environ.get("SPARK_DRIVER_MEM", "20g")
+    _pretouch = os.environ.get("SPARK_GRAFT_PRETOUCH", "1") != "0"
+    _java_opts = os.environ.get(
+        "SPARK_DRIVER_JAVA_OPTS",
+        f"-Xms{_mem}" + (" -XX:+AlwaysPreTouch" if _pretouch else ""))
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -32,21 +37,27 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # local mode = ONE JVM for driver+executors: size the heap for
         # cache + per-task shuffle/Arrow buffers × cores, or 32 concurrent
-        # tasks GC-thrash an undersized heap and scaling inverts
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        # Xms=Xmx + pre-touch: fault the whole heap in ONCE at JVM start.
-        # On this VM the page-fault path is expensive (measured: 85% sy /
-        # 11% st with 32 alloc-heavy threads) — without pre-touch, heap
-        # growth during the job serializes all executor threads in the
-        # kernel and 32-core runs come out SLOWER than 8-core runs.
-        .config(
-            "spark.driver.extraJavaOptions",
-            os.environ.get(
-                "SPARK_DRIVER_JAVA_OPTS",
-                f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '48g')} "
-                "-XX:+AlwaysPreTouch",
-            ),
-        )
+        # tasks GC-thrash an undersized heap and scaling inverts. 20g fits
+        # every harness in this sandbox (the largest bench corpus caches
+        # ~11 GB deserialized); DON'T size it "as big as the box": this
+        # VM's page-fault path degrades super-linearly in faulted bytes
+        # when the hypervisor is under memory pressure (measured round 6,
+        # same hour: pre-touching 8g cost 7.6 s, 16g 225 s, 48g 520 s wall /
+        # 192 CPU-min of sys — and while a big heap faults in, the whole
+        # guest stalls). Every page the JVM never touches is startup time
+        # and host co-tenancy risk saved.
+        .config("spark.driver.memory", _mem)
+        # Xms=Xmx + pre-touch: fault the whole heap ONCE at JVM start so
+        # heap growth never serializes 32 alloc-heavy executor threads in
+        # the kernel mid-job (measured: 85% sy / 11% st without it) —
+        # benches keep timings fault-free this way. Harnesses with tiny
+        # working sets (the pytest suite: local[4], MB-sized corpora) set
+        # SPARK_GRAFT_PRETOUCH=0 instead: faulting only the ~2 GB they
+        # actually use beats pre-faulting any full heap. THP
+        # (-XX:+UseTransparentHugePages) was measured and REJECTED on this
+        # kernel: 8g pre-touch went 7.6 s → 3m40 s / 73 CPU-min sys
+        # (madvise-mode hugepage allocation storm).
+        .config("spark.driver.extraJavaOptions", _java_opts)
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

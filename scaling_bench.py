@@ -27,8 +27,12 @@ import sys
 import tempfile
 
 WORKER = r"""
-import json, shutil, sys, tempfile, time
+import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
+# 1.2M docs x text rep 16 caches ~11 GB deserialized; heap sized to that
+# working set (see session.py: pre-touching an oversized heap costs minutes
+# of kernel time under hypervisor memory pressure and stalls the guest)
+os.environ.setdefault("SPARK_DRIVER_MEM", "28g")
 cpus = {cpus}
 mult = {mult}
 n_reps = {reps}

@@ -44,7 +44,7 @@ for _ in range(2):
 
 from ee_outliers_spark.index.build import (  # noqa: E402
     SEGMENT_SCHEMA, IndexPaths, _pair_stream, _pairs_segment_frame,
-    refresh_stats_and_termstats, write_manifest,
+    _routed_by_segment, refresh_stats_and_termstats, write_manifest,
 )
 
 timings = {}
@@ -54,7 +54,7 @@ try:
     base = big
     t0 = time.monotonic()
     pairs = _pair_stream(base, 128)
-    seg_df = pairs.groupBy("seg_id").applyInPandas(
+    seg_df = _routed_by_segment(pairs, 128).applyInPandas(
         _pairs_segment_frame, schema=SEGMENT_SCHEMA).persist()
     seg_df.count()
     timings["tokenize_shuffle_pack"] = round(time.monotonic() - t0, 3)

@@ -33,6 +33,9 @@ OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def worker(mult: int) -> None:
+    # 2.4M-doc corpus caches ~6 GB + positional build frames; see session.py
+    # for why the heap is sized to the working set, not the box
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     from pyspark.sql import functions as F  # noqa: N812
 
     from ee_outliers_spark.index.build import build_segments

@@ -549,6 +549,62 @@ def test_text_kernel_matches_pair_stream_segments(spark, documents):
                 assert got[k] == want[k], (positional, fields, k)
 
 
+def test_segment_routing_is_one_task_per_segment(spark, documents):
+    """The pack exchange routes each segment to its OWN reduce partition:
+    _route_keys(n) must be a bijection onto partitions under Spark's real
+    hash partitioning (so _mm3_int32 must equal F.hash), and the routed
+    exchange must place exactly one segment per non-empty partition —
+    otherwise 128 segments hashed into shuffle.partitions reducers pack up
+    to 1.5× the mean into one task (measured; the round-5 scaling gap)."""
+    from pyspark.sql import functions as SF
+
+    from ee_outliers_spark.index.build import (
+        _mm3_int32, _route_keys, _routed_by_segment)
+
+    # 1. the python murmur3 IS Spark's F.hash on int32
+    vals = list(range(-5, 200)) + [2**31 - 1, -2**31, 123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    got = {r["x"]: r["h"] for r in
+           df.select("x", SF.hash("x").alias("h")).collect()}
+    for v in vals:
+        assert _mm3_int32(v) == got[v], v
+
+    # 2. bijection: n route keys cover n partitions exactly once
+    for n in (4, 16, 128):
+        routes = _route_keys(n)
+        assert len(set(routes)) == n
+        assert sorted(_mm3_int32(r) % n for r in routes) == list(range(n))
+
+    # 3. physical: repartition(n, "_route") places the n route keys in n
+    #    DISTINCT partitions (pins that Spark's partitioner is pmod(F.hash))
+    n = 16
+    routes = _route_keys(n)
+    rdf = spark.createDataFrame(
+        [(int(r),) for r in routes], "_route int").repartition(n, "_route")
+    placed = rdf.select(
+        "_route", SF.spark_partition_id().alias("p")).collect()
+    assert sorted(r["p"] for r in placed) == list(range(n))
+    for r in placed:
+        assert r["p"] == _mm3_int32(r["_route"]) % n
+
+    # 4. end-to-end: the routed grouped exchange yields every segment, one
+    #    group per segment
+    n_seg = 8
+    src = documents.select(
+        SF.col("doc_id").cast("long").alias("doc_id"), "text").select(
+        (SF.col("doc_id") % n_seg).cast("int").alias("seg_id"), "*")
+
+    def seg_of(key, pdf):
+        import pandas as pd
+        return pd.DataFrame({"seg_id": [int(pdf["seg_id"].iloc[0])],
+                             "uniq": [int(pdf["seg_id"].nunique())]})
+
+    rows = _routed_by_segment(src, n_seg).applyInPandas(
+        seg_of, "seg_id int, uniq int").collect()
+    assert sorted(r["seg_id"] for r in rows) == list(range(n_seg))
+    assert all(r["uniq"] == 1 for r in rows)
+
+
 def test_phrase_seg_match_repeated_sloppy_randomized():
     """Seeded randomized differential for the vectorized repeated-term
     sloppy greedy (round-4 verdict #2): dense synthetic position lists are
