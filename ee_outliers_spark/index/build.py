@@ -52,6 +52,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import spread_input
 from ..tokenizer import tokenize_py, tokens_col
 from .codec import varbyte_encode, varbyte_encode_with_lengths
 
@@ -383,6 +384,10 @@ def _pair_stream(base: DataFrame, num_segments: int,
     phrases. Per-field terms do NOT contribute to the MAIN doclen — each
     field gets its own norm sidecar (dl = Σ field-tf in the kernel), Lucene's
     per-field .nvd length normalization."""
+    # a single-row-group source otherwise tokenizes + partial-aggregates the
+    # whole corpus on ONE task before the first exchange (guide §2/§6);
+    # no-op whenever the scan already has ≥cores splits
+    base = spread_input(base)
     seg = (F.col("doc_id") % num_segments).cast("int").alias("seg_id")
     dl = base.select(
         seg, F.lit(None).cast("string").alias("term"), F.col("doc_id"),
@@ -607,10 +612,16 @@ def _routed_by_segment(df: DataFrame, num_segments: int,
     cannot guarantee."""
     routes = _route_keys(num_segments)
     route_arr = F.array(*[F.lit(int(r)) for r in routes])
+    idx = (F.col("seg_id") - int(seg_offset) + 1).cast("int")
+    # out-of-contract seg_ids route to a distinct negative key (their own
+    # group) instead of silently aliasing another segment's route via
+    # element_at's negative/end-relative indexing — a contract violation
+    # then surfaces as an extra group, never as silent index corruption
     routed = df.withColumn(
         "_route",
-        F.element_at(route_arr,
-                     (F.col("seg_id") - int(seg_offset) + 1).cast("int")))
+        F.when((idx >= 1) & (idx <= int(num_segments)),
+               F.element_at(route_arr, idx))
+        .otherwise((-F.col("seg_id") - 1).cast("int")))
     return routed.repartition(num_segments, "_route").groupBy("_route")
 
 
@@ -624,8 +635,37 @@ def live_seg_ids(stats: dict) -> list[int] | None:
     return list(range(int(n))) if n else None
 
 
+class _PackedSegmentGroupBy:
+    """groupBy proxy that packs SEVERAL segments into each reduce task and
+    re-groups rows per segment inside the worker, so a many-segment index
+    (e.g. 352 live segments at 6M docs) costs cores tasks per query instead
+    of one tiny task per segment. Per-task scheduling + Arrow handshake is
+    the dominant cost of a selective query's kernel stage once per-segment
+    work is microseconds (round-6 ADVICE; measured round 7: the same query
+    over 352 one-segment tasks pays ~352 × task overhead across 11 waves).
+    The wrapped kernel still sees exactly one segment per invocation —
+    identical inputs, identical output rows."""
+
+    def __init__(self, gb, col: str):
+        self._gb = gb
+        self._col = col
+
+    def applyInPandas(self, fn, schema):
+        col = self._col
+
+        def packed(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            frames = [fn((int(s),), sub)
+                      for s, sub in pdf.groupby(col, sort=True)]
+            frames = [f for f in frames if len(f)]
+            if not frames:
+                return fn(key, pdf.iloc[0:0])
+            return pd.concat(frames, ignore_index=True)
+
+        return self._gb.applyInPandas(packed, schema)
+
+
 def routed_segment_groupby(df: DataFrame, seg_ids: list[int] | None,
-                           col: str = "seg_id"):
+                           col: str = "seg_id", pack: bool = True):
     """``df.groupBy("seg_id")`` with guaranteed one-segment-per-reduce-
     partition placement (see ``_route_keys``): the per-segment query kernels
     (WAND, phrase intersection, filter set-algebra, posting decode) each
@@ -634,10 +674,29 @@ def routed_segment_groupby(df: DataFrame, seg_ids: list[int] | None,
     segments over 32 shuffle partitions the busiest reducer otherwise packs
     ~2× the mean and gates the whole query. Kernels must read seg_id from
     the pdf (none of the query kernels use the group key). Falls back to the
-    plain groupBy when the live list is unknown (pre-routing index dirs)."""
+    plain groupBy when the live list is unknown (pre-routing index dirs).
+
+    When the live-segment count exceeds the core count and ``pack`` is
+    true (query kernels: tiny per-segment work), segments are round-robin
+    packed into exactly ``defaultParallelism`` balanced reduce tasks
+    (⌈n/p⌉ vs ⌊n/p⌋ segments per task — still deterministic placement, no
+    binomial straggler tail) and the kernel is re-invoked per segment
+    inside the task. Heavy kernels (build, LSM merge: one segment IS the
+    memory budget) pass ``pack=False`` to keep one task per segment."""
     if not seg_ids:
         return df.groupBy(col)
     ids = sorted({int(s) for s in seg_ids})
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if pack and len(ids) > p:
+        routes = _route_keys(p)
+        mapping = F.create_map(*[F.lit(int(v)) for i, s in enumerate(ids)
+                                 for v in (s, routes[i % p])])
+        routed = df.withColumn(
+            "_route",
+            F.coalesce(mapping[F.col(col)],
+                       (-F.col(col) - 1).cast("int")))
+        gb = routed.repartition(p, "_route").groupBy("_route")
+        return _PackedSegmentGroupBy(gb, col)
     routes = _route_keys(len(ids))
     mapping = F.create_map(*[F.lit(int(v)) for s, r in zip(ids, routes)
                              for v in (s, r)])

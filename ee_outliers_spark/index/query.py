@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import heapq
 import math
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -46,6 +47,29 @@ TOPK_SCHEMA = "doc_id long, score double"
 
 def _idf(n_docs: int, df_: int) -> float:
     return math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+
+
+def _termstats_lookup(paths: IndexPaths, terms: list[str]) -> dict[str, int]:
+    """{term: df} for an explicit small term list, read DIRECTLY from the
+    termstats parquet with pyarrow on the driver (row-group statistics
+    pruning + an IN filter). Dictionary-metadata lookups are |q| rows out
+    of a vocabulary-sized table; launching a Spark job for them cost one
+    full scheduling round trip (~0.15-0.3 s) on EVERY top-k/phrase query —
+    the same stats.json/local-read pattern load_stats already uses. Pattern
+    predicates (wildcard/regexp/fuzzy expansion) still go through the
+    distributed scan — only exact term lists take this path."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, int] = {}
+    flt = [("term", "in", list(terms))]
+    for f in glob.glob(os.path.join(paths.termstats, "*.parquet")):
+        t = pq.read_table(f, columns=["term", "df"], filters=flt)
+        for term, d in zip(t.column("term").to_pylist(),
+                           t.column("df").to_pylist()):
+            out[term] = int(d)
+    return out
 
 
 def _term_field(term: str) -> str | None:
@@ -468,10 +492,7 @@ def _phrase_hits(spark: SparkSession, paths: IndexPaths,
             "(build_segments(..., positions=True))")
     distinct = list(dict.fromkeys(toks))
 
-    present = (
-        spark.read.parquet(paths.termstats)
-        .where(F.col("term").isin(distinct)).count()
-    )
+    present = len(_termstats_lookup(paths, distinct))
     if present < len(distinct):
         # a phrase containing a zero-df term matches nothing anywhere
         return None
@@ -1321,12 +1342,7 @@ def bm25_topk_wand(
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     fnorms = _field_norms(stats)
 
-    tstats = {
-        r["term"]: int(r["df"])
-        for r in spark.read.parquet(paths.termstats)
-        .where(F.col("term").isin(terms))
-        .collect()
-    }
+    tstats = _termstats_lookup(paths, terms)
     # field:token entries take the FIELD's docCount/avgdl (per-field norms)
     idfs = {t: _idf(_term_norm(t, fnorms, n_docs, avgdl)[0], d)
             for t, d in tstats.items()}

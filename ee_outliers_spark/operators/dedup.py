@@ -26,6 +26,7 @@ operators per the build brief. All are shuffle-conscious:
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -33,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from ..session import spread_input
 from ..tokenizer import tokens_col
 
 
@@ -83,6 +85,7 @@ def shingles_from_tokens(toks, k: int):
 
 def _shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(_id, g) exploded distinct k-gram rows."""
+    df = spread_input(df.select(id_col, text_col))
     return (
         df.select(
             F.col(id_col).alias("_id"),
@@ -175,23 +178,43 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(id, sig array<long>) — per permutation i, min over shingles of
-    (aᵢ·md5₆₀(shingle) + bᵢ) mod P. Entirely JVM-side: explode + num_perm
-    min-aggs with map-side partial aggregation (one shuffle,
-    vocabulary-free); ONE md5 per shingle, the permutations are arithmetic."""
+    (aᵢ·md5₆₀(shingle) + bᵢ) mod P.
+
+    ONE fused Arrow pass per doc batch (narrow map, ZERO shuffle): tokenize
+    (C-path pandas findall, identical tokens to ``tokens_col``), shingle,
+    md5₆₀ (identical to ``md5_long_expr``: int of the first 15 hex chars),
+    then all ``num_perm`` mins in a single numpy broadcast. The round-6
+    shape (pandas shingle UDF → explode → JVM md5 → 64 min-aggs) shipped
+    every shingle STRING through Arrow and a corpus-sized shuffle; measured
+    at 50k docs / 2.6M shingles that pipeline cost ~19 s vs ~2 s here —
+    the min over a multiset equals the min over the distinct set, so
+    per-doc shingle dedup is also gone. All arithmetic stays exact int64
+    (a·h < 2^62), so the numbers are bit-identical to the DuckDB oracle."""
     coeffs = _minhash_coeffs(num_perm, seed)
-    sh = _shingle_rows(df, id_col, text_col, k)
-    # materialize the base hash in a projection BEFORE the aggregation so
-    # md5 runs once per shingle row — embedding it in all num_perm agg
-    # expressions would re-evaluate it per permutation
-    hv = sh.select("_id", (md5_long_expr(F.col("g")) % MINHASH_P).alias("h"))
-    mins = hv.groupBy("_id").agg(
-        *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
-          for i, (a, b) in enumerate(coeffs)]
-    )
-    return mins.select(
-        F.col("_id").alias(id_col),
-        F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"),
-    )
+    a_arr = np.asarray([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    b_arr = np.asarray([b for _, b in coeffs], dtype=np.int64)[:, None]
+
+    @F.pandas_udf("array<long>")
+    def sig_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        md5 = hashlib.md5
+        for batch in texts:
+            tok_lists = batch.fillna("").str.lower().str.findall("[a-z0-9]+")
+            out = []
+            for toks in tok_lists:
+                n = len(toks) - k + 1
+                if n <= 0:
+                    out.append(None)  # <k tokens: no shingles, no signature
+                    continue
+                hs = np.fromiter(
+                    (int(md5(" ".join(toks[i:i + k]).encode("utf-8"))
+                         .hexdigest()[:15], 16) for i in range(n)),
+                    dtype=np.int64, count=n) % MINHASH_P
+                out.append(((a_arr * hs + b_arr) % MINHASH_P).min(axis=1))
+            yield pd.Series(out, dtype=object)
+
+    return spread_input(df.select(id_col, text_col)).select(
+        F.col(id_col), sig_udf(F.col(text_col)).alias("sig")
+    ).where(F.col("sig").isNotNull())
 
 
 def minhash_lsh_pairs(
@@ -226,6 +249,16 @@ def minhash_lsh_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
+    # est_jaccard is a deterministic function of the pair, so computing it
+    # inside the join select and thresholding BEFORE dropDuplicates yields
+    # the identical pair set while the dedup shuffle carries 3 scalars per
+    # row instead of two num_perm-long signature arrays (~500 B → ~24 B)
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_perm))
     cand = (
         a.join(
             b,
@@ -236,19 +269,12 @@ def minhash_lsh_pairs(
         .select(
             F.col("a._id").alias("id1"),
             F.col("b._id").alias("id2"),
-            F.col("a.sig").alias("sig1"),
-            F.col("b.sig").alias("sig2"),
+            est.alias("est_jaccard"),
         )
+        .where(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["id1", "id2"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda eq: eq
-        )
-    ) / F.lit(float(num_perm))
-    return cand.select("id1", "id2", est.alias("est_jaccard")).where(
-        F.col("est_jaccard") >= threshold
-    )
+    return cand
 
 
 # --- SimHash ---------------------------------------------------------------------
@@ -279,6 +305,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash long) for docs with ≥1 token (tokenless docs are exact
     dupes of each other — exact_dedup territory, not SimHash's).
     Narrow map — Arrow batches, no shuffle."""
+    df = spread_input(df.select(id_col, text_col))
     return df.select(
         F.col(id_col),
         tokens_col(text_col).alias("_toks"),
@@ -309,7 +336,12 @@ def simhash_neardup_pairs(
         ).alias("chunk_no", "chunk"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    # hamming is deterministic per pair: compute + threshold inside the join
+    # select so the dedup shuffle never carries the fingerprints and drops
+    # non-near rows before the exchange (same pair set either way)
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         a.join(
             b,
             (F.col("a.chunk_no") == F.col("b.chunk_no"))
@@ -318,13 +350,10 @@ def simhash_neardup_pairs(
         )
         .select(
             F.col("a._id").alias("id1"), F.col("b._id").alias("id2"),
-            F.col("a.simhash").alias("f1"), F.col("b.simhash").alias("f2"),
+            ham.alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id1", "id2"])
-    )
-    ham = F.bit_count(F.col("f1").bitwiseXOR(F.col("f2")))
-    return cand.select("id1", "id2", ham.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
     )
 
 

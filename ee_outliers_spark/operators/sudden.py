@@ -28,6 +28,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import spread_input
 from .terms import aggregator_col
 
 
@@ -77,21 +78,48 @@ def sudden_appearance(
     win_df = spark.createDataFrame(
         [(i, s, e) for i, s, e in wins], "w_id int, w_start timestamp, w_end timestamp"
     )
-    base = df.dropna(subset=[*groups, target, ts_col]).withColumn(
+    base = spread_input(df.dropna(subset=[*groups, target, ts_col])).withColumn(
         "aggregator", aggregator_col(groups)
     ).withColumn("target", F.col(target).cast("string"))
-    # broadcast range join: every event × the window positions containing it
-    joined = base.join(
-        F.broadcast(win_df),
-        (F.col(ts_col) >= F.col("w_start")) & (F.col(ts_col) <= F.col("w_end")),
-    )
+    # Window membership is ARITHMETIC, not a join: positions advance by a
+    # fixed step, so event ts lands in the contiguous id range
+    # [ceil((t-size)/step), floor(t/step)] (t = µs since start) plus the
+    # final clamped scan. The round-6 range-condition broadcast join
+    # planned as BroadcastNestedLoopJoin — O(events × positions)
+    # interpreted predicate evaluations (measured 3.5 s at 1M events × 26
+    # positions, single-task input); sequence+explode is whole-stage
+    # codegen and O(events × fan-out). Exact µs integers through double
+    # division stay exact (values ≪ 2^53), so boundary events land in
+    # identical windows.
+    n_reg = len(wins) if len(wins) == 1 else len(wins) - 1
+    step_us = int(step.total_seconds() * 1_000_000)
+    size_us = int(size.total_seconds() * 1_000_000)
+    # cast covers TIMESTAMP_NTZ sources (session tz is UTC: identical wall
+    # clock, and the windows were built from naive datetimes the same way)
+    t_us = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(F.lit(start).cast("timestamp")))
+    lo = F.greatest(F.lit(0),
+                    F.ceil((t_us - F.lit(size_us)) / F.lit(step_us)).cast("int"))
+    hi = F.least(F.lit(n_reg - 1),
+                 F.floor(t_us / F.lit(step_us)).cast("int"))
+    ids = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+        F.array().cast("array<int>"))
+    if len(wins) > 1:  # final clamped scan [end-step, end]
+        in_final = ((F.col(ts_col) >= F.lit(end - step))
+                    & (F.col(ts_col) <= F.lit(end)))
+        ids = F.when(in_final,
+                     F.concat(ids, F.array(F.lit(n_reg)))).otherwise(ids)
+    joined = base.withColumn("w_id", F.explode(ids))
     # earliest event per (window, aggregator, target) — ref A4/T1 top_hits(1, ts asc)
     keep = payload_cols if payload_cols is not None else df.columns
     payload = F.struct(F.col(ts_col).alias("_ts"), *[F.col(c) for c in keep])
-    firsts = joined.groupBy("w_id", "w_start", "w_end", "aggregator", "target").agg(
+    # group on w_id only (w_start/w_end are functions of w_id — re-attached
+    # from the tiny schedule by a broadcast equi-join after the aggregation,
+    # so the shuffle key is 1 int + 2 strings instead of +2 timestamps)
+    firsts = joined.groupBy("w_id", "aggregator", "target").agg(
         F.min_by(payload, F.col(ts_col)).alias("doc"),
         F.count("*").cast("long").alias("num_target_value_in_window"),
-    )
+    ).join(F.broadcast(win_df), "w_id")
     step_expr = F.expr(f"INTERVAL {int(step.total_seconds())} SECONDS")
     out = firsts.where(F.col("doc._ts") > F.col("w_end") - step_expr)
     return out.select(

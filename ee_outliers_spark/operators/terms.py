@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import spread_input
 from .frontier import flag_outliers, frontier_df, outlier_test
 from .whitelist import value_set_col, whitelist_predicate
 
@@ -75,6 +76,8 @@ def _prepare(df: DataFrame, groups: list[str], target: str) -> DataFrame:
     aggregator or target fields; array-typed fields expand to sentences;
     nested-typed fields (array-of-array/dict — ref X10) drop every sentence,
     exactly like flatten_sentence returning None."""
+    df = spread_input(df)  # single-row-group inputs otherwise serialize the
+    # pre-shuffle stage (sentence expansion + partial count agg) on one task
     names = set(df.schema.fieldNames())
     if any(c in names and _unflattenable(df.schema[c].dataType)
            for c in [*groups, target]):

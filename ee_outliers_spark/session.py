@@ -9,7 +9,34 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def spread_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition an input that would otherwise run on fewer
+    tasks than the cluster has cores — and do NOTHING otherwise.
+
+    Why: a parquet file is split at row-group boundaries, so a table written
+    as one fat row group scans as ONE task no matter how many cores exist,
+    and every narrow operator downstream (tokenize, Arrow UDFs, partial
+    aggregation before the first exchange) runs single-threaded. Measured
+    round 7: the whole sf-level bench corpus (50k docs, 1M events) is one
+    row group per table, which serialized the pre-shuffle stage of minhash
+    (13 s), sudden-appearance (10 s) and the index pair stream. The
+    repartition costs one pass over the (already column-pruned) input — at
+    real scale inputs have many splits and the condition makes this a no-op,
+    so no extra shuffle ever appears on the 100 TB path (guide §2.4/§6).
+    Round-robin repartition is deterministic under retries (Spark sorts
+    before repartitioning, SPARK-23207) and every caller is either row-wise
+    or an exact-integer aggregation, so results are partition-independent."""
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive (e.g. streaming frames)
+        return df
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if 0 < n < p:
+        return df.repartition(p)
+    return df
 
 
 def get_spark(
@@ -22,7 +49,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
     _mem = os.environ.get("SPARK_DRIVER_MEM", "20g")
-    _pretouch = os.environ.get("SPARK_GRAFT_PRETOUCH", "1") != "0"
+    # Pre-touch is OPT-IN (default off since round 7): faulting the full
+    # heap at JVM start converts host memory pressure into unbounded,
+    # unattributable startup stalls — measured round 6: pre-touching 16g
+    # cost 225 s in a bad hypervisor hour, and fresh-JVM benches absorbed
+    # multi-minute fault storms into their first timed query (BENCH_FULL
+    # round 6: same-code 600k builds of 130/45/13 s). Quiet-window pinned
+    # campaigns that want fault-free timings export SPARK_GRAFT_PRETOUCH=1.
+    _pretouch = os.environ.get("SPARK_GRAFT_PRETOUCH", "0") == "1"
     _java_opts = os.environ.get(
         "SPARK_DRIVER_JAVA_OPTS",
         f"-Xms{_mem}" + (" -XX:+AlwaysPreTouch" if _pretouch else ""))

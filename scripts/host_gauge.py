@@ -24,9 +24,13 @@ os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "0")
 import subprocess  # noqa: E402
 
 _t = time.monotonic()
-subprocess.run(["java", "-Xms4g", "-Xmx4g", "-XX:+AlwaysPreTouch",
-                "-version"], capture_output=True)
-PRETOUCH_4G_S = round(time.monotonic() - _t, 3)
+try:
+    _p = subprocess.run(["java", "-Xms4g", "-Xmx4g", "-XX:+AlwaysPreTouch",
+                         "-version"], capture_output=True)
+    PRETOUCH_4G_S = (round(time.monotonic() - _t, 3)
+                     if _p.returncode == 0 else None)
+except FileNotFoundError:
+    PRETOUCH_4G_S = None  # no java on PATH: degrade, don't crash the gauge
 
 t_start = time.monotonic()
 from ee_outliers_spark.session import get_spark  # noqa: E402
