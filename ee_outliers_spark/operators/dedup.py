@@ -212,6 +212,11 @@ def minhash_signatures(
                 out.append(((a_arr * hs + b_arr) % MINHASH_P).min(axis=1))
             yield pd.Series(out, dtype=object)
 
+    # asNondeterministic stops the optimizer from pushing the isNotNull
+    # filter below the projection, which would DUPLICATE the Arrow UDF and
+    # land the duplicate under the spread exchange — i.e. re-evaluate the
+    # whole corpus on one task (guide §4.4; measured 6.5 s vs 0.6 s here)
+    sig_udf = sig_udf.asNondeterministic()
     return spread_input(df.select(id_col, text_col)).select(
         F.col(id_col), sig_udf(F.col(text_col)).alias("sig")
     ).where(F.col("sig").isNotNull())

@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.metrics import metric_column
-from ..session import spread_input
 from .frontier import flag_outliers
 from .terms import aggregator_col, expand_multivalued
 from .whitelist import value_set_col, whitelist_predicate
@@ -37,7 +36,7 @@ def metrics_values(
     ``observation`` column (ref T3, metrics.py:427-485)."""
     from ..functions.metrics import OBSERVATIONS, observation_column
 
-    base = expand_multivalued(spread_input(df), [*groups, target]).dropna(
+    base = expand_multivalued(df, [*groups, target]).dropna(
         subset=[*groups, target])
     base = base.withColumn("aggregator", aggregator_col(groups)).withColumn(
         "metric_value", metric_column(metric, F.col(target).cast("string"))

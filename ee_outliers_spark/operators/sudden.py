@@ -78,7 +78,13 @@ def sudden_appearance(
     win_df = spark.createDataFrame(
         [(i, s, e) for i, s, e in wins], "w_id int, w_start timestamp, w_end timestamp"
     )
-    base = spread_input(df.dropna(subset=[*groups, target, ts_col])).withColumn(
+    keep = payload_cols if payload_cols is not None else df.columns
+    # spread only the columns the aggregation needs (project before the
+    # exchange — guide §2.3); the docs variant ships 4 columns, not rows
+    needed = list(dict.fromkeys([*groups, target, ts_col, *keep]))
+    base = spread_input(
+        df.dropna(subset=[*groups, target, ts_col]).select(*needed)
+    ).withColumn(
         "aggregator", aggregator_col(groups)
     ).withColumn("target", F.col(target).cast("string"))
     # Window membership is ARITHMETIC, not a join: positions advance by a
@@ -111,7 +117,6 @@ def sudden_appearance(
                      F.concat(ids, F.array(F.lit(n_reg)))).otherwise(ids)
     joined = base.withColumn("w_id", F.explode(ids))
     # earliest event per (window, aggregator, target) — ref A4/T1 top_hits(1, ts asc)
-    keep = payload_cols if payload_cols is not None else df.columns
     payload = F.struct(F.col(ts_col).alias("_ts"), *[F.col(c) for c in keep])
     # group on w_id only (w_start/w_end are functions of w_id — re-attached
     # from the tiny schedule by a broadcast equi-join after the aggregation,

@@ -76,8 +76,6 @@ def _prepare(df: DataFrame, groups: list[str], target: str) -> DataFrame:
     aggregator or target fields; array-typed fields expand to sentences;
     nested-typed fields (array-of-array/dict — ref X10) drop every sentence,
     exactly like flatten_sentence returning None."""
-    df = spread_input(df)  # single-row-group inputs otherwise serialize the
-    # pre-shuffle stage (sentence expansion + partial count agg) on one task
     names = set(df.schema.fieldNames())
     if any(c in names and _unflattenable(df.schema[c].dataType)
            for c in [*groups, target]):
@@ -150,7 +148,12 @@ def terms_within(
     """One pass (no whitelist): rows + term_count/decision_frontier/
     is_outlier/non_outlier_values_sample."""
     base = _prepare(df, groups, target)
-    counts = base.groupBy("aggregator", "target").agg(
+    # spread ONLY the 2-column projection feeding the count: a full-row
+    # spread would funnel every payload column through a 1-task shuffle
+    # write (worse than the serial partial agg it replaces — measured);
+    # the projected exchange is key-sized and the partial agg parallelizes
+    counts = spread_input(base.select("aggregator", "target")).groupBy(
+        "aggregator", "target").agg(
         F.count("*").cast("long").alias("term_count")
     )
     counts = _cap_buckets(counts, max_num_aggregators, max_num_targets,
@@ -186,7 +189,8 @@ def terms_across(
     The frontier is GLOBAL (one per window), computed over per-aggregator
     distinct-target counts (ref terms.py:229-255)."""
     base = _prepare(df, groups, target)
-    counts = base.groupBy("aggregator").agg(
+    counts = spread_input(base.select("aggregator", "target")).groupBy(
+        "aggregator").agg(
         F.countDistinct("target").cast("long").alias("unique_target_count")
     )
     counts = _cap_buckets(counts, max_num_aggregators, None,

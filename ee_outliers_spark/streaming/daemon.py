@@ -26,6 +26,7 @@ streaming). The Spark-native equivalents:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,8 +61,14 @@ def append_segments(
         return []
 
     positions = bool(stats.get("positions", False))  # match the base index
-    existing = spark.read.parquet(paths.segments)
-    base_seg = (existing.agg(F.max("seg_id")).collect()[0][0] or 0) + 1
+    # max existing seg_id from the partition DIRECTORIES (seg_id is the
+    # partition column): the previous full-table max(seg_id) scanned every
+    # live segment's parquet per append — an O(index) Spark job for one int
+    base_seg = max(
+        (int(p.split("=", 1)[1]) for p in os.listdir(paths.segments)
+         if p.startswith("seg_id=")),
+        default=0,
+    ) + 1
 
     t0 = time.monotonic()
     segment_frames_df(
