@@ -221,8 +221,7 @@ def _assemble_segment(seg_id: int, doc_ids_sorted: np.ndarray,
         gaps[1:] = gaps[1:] - doc_np[:-1].astype(np.uint64)
         gaps[t_starts] = doc_np[t_starts]
         doc_bytes, doc_lens = varbyte_encode_with_lengths(gaps)
-        tf_bytes, tf_lens = varbyte_encode_with_lengths(
-            tf_np.astype(np.uint64))
+        tf_bytes, tf_lens = varbyte_encode_with_lengths(tf_np)
         doc_off = np.concatenate(([0], np.cumsum(doc_lens)))
         tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
         pos_all = row_byte = row_bounds = None
@@ -233,8 +232,7 @@ def _assemble_segment(seg_id: int, doc_ids_sorted: np.ndarray,
                 pgaps[1:] -= flat_pos[:-1]
                 rs = row_bounds[:-1]
                 pgaps[rs] = flat_pos[rs]  # posting boundaries: absolute
-            pos_all, pos_lens = varbyte_encode_with_lengths(
-                pgaps.astype(np.uint64))
+            pos_all, pos_lens = varbyte_encode_with_lengths(pgaps)
             row_byte = np.concatenate(([0], np.cumsum(pos_lens)))
         # block metadata: global block boundaries tile [0, n) exactly
         # (a term's last block ends where the next term's first begins)
@@ -487,7 +485,8 @@ def _text_segment_kernel(analyzed_fields: tuple[str, ...] = (),
                 pos_parts.append(np.arange(total, dtype=np.int64)
                                  - np.repeat(starts, counts))
             doc_parts.append(np.repeat(docs_sorted, counts))
-            code_parts.append(codes.astype(np.int64) + code_base)
+            codes = np.asarray(codes, dtype=np.int64)  # no-op on int64
+            code_parts.append(codes + code_base if code_base else codes)
             vocab_parts.append(uniq)
             code_base += len(uniq)
 
@@ -523,7 +522,12 @@ def _text_segment_kernel(analyzed_fields: tuple[str, ...] = (),
         rank = np.empty(len(vocab), np.int64)
         rank[order_v] = np.arange(len(vocab), dtype=np.int64)
         codes_r = rank[codes_all]
-        order = np.lexsort((docs_all, codes_r))  # stable → positions stay
+        # single-key STABLE sort: docs_all is ascending within every code
+        # value already (each code belongs to exactly one stream, and each
+        # stream's docs are repeat(docs_sorted, counts)), so stability
+        # yields exactly lexsort((docs, codes)) at about half the cost —
+        # and token positions stay ascending within (term, doc) ties
+        order = np.argsort(codes_r, kind="stable")
         codes_s = codes_r[order]                 # ascending within (t, doc)
         docs_s = docs_all[order]
         change = np.flatnonzero(
@@ -534,9 +538,9 @@ def _text_segment_kernel(analyzed_fields: tuple[str, ...] = (),
         return _assemble_segment(
             seg_id, docs_sorted, dls_sorted,
             sorted_vocab[codes_s[row_starts]],
-            docs_s[row_starts].astype(np.int64),
-            (row_ends - row_starts).astype(np.int64),
-            pos_all[order].astype(np.int64) if positions else None,
+            np.asarray(docs_s[row_starts], dtype=np.int64),
+            np.asarray(row_ends - row_starts, dtype=np.int64),
+            np.asarray(pos_all[order], dtype=np.int64) if positions else None,
             time.monotonic() - t0,
             field_sidecars=field_sidecars or None)
 

@@ -27,16 +27,19 @@ def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.empty(0, dtype=np.int64)
-    # bytes needed per value: ceil(bits/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    for _ in range(_MAX_BYTES):
-        mask = tmp > 0
-        if not mask.any():
+    # bytes needed per value: 1 + #{k : v ≥ 2^(7k)} — pure comparisons, no
+    # copy/shift loop (posting gaps are overwhelmingly 1-2 bytes; the old
+    # copy+shift pass was ~40% of segment encode time on position streams)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    bound = np.uint64(1 << 7)
+    for _ in range(_MAX_BYTES - 1):
+        above = v >= bound
+        if not above.any():
             break
-        nbits[mask] += 1
-        tmp >>= np.uint64(7)
-    nbytes = np.maximum(nbits, 1)
+        nbytes += above
+        if int(bound) >= (1 << 57):  # next shift would overflow uint64
+            break
+        bound = np.uint64(int(bound) << 7)
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     # position of first byte of each value

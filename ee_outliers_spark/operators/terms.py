@@ -27,7 +27,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..session import spread_input
 from .frontier import flag_outliers, frontier_df, outlier_test
 from .whitelist import value_set_col, whitelist_predicate
 
@@ -148,12 +147,7 @@ def terms_within(
     """One pass (no whitelist): rows + term_count/decision_frontier/
     is_outlier/non_outlier_values_sample."""
     base = _prepare(df, groups, target)
-    # spread ONLY the 2-column projection feeding the count: a full-row
-    # spread would funnel every payload column through a 1-task shuffle
-    # write (worse than the serial partial agg it replaces — measured);
-    # the projected exchange is key-sized and the partial agg parallelizes
-    counts = spread_input(base.select("aggregator", "target")).groupBy(
-        "aggregator", "target").agg(
+    counts = base.groupBy("aggregator", "target").agg(
         F.count("*").cast("long").alias("term_count")
     )
     counts = _cap_buckets(counts, max_num_aggregators, max_num_targets,
@@ -189,8 +183,7 @@ def terms_across(
     The frontier is GLOBAL (one per window), computed over per-aggregator
     distinct-target counts (ref terms.py:229-255)."""
     base = _prepare(df, groups, target)
-    counts = spread_input(base.select("aggregator", "target")).groupBy(
-        "aggregator").agg(
+    counts = base.groupBy("aggregator").agg(
         F.countDistinct("target").cast("long").alias("unique_target_count")
     )
     counts = _cap_buckets(counts, max_num_aggregators, None,

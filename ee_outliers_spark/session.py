@@ -66,6 +66,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Scale-adaptive reducer counts (guide §2.2): start every AQE
+        # shuffle at 8× the core count and let coalescing shrink small
+        # exchanges to the advisory size. With a flat reducer count = cores,
+        # a corpus-sized aggregation (the index pair stream at 6M docs:
+        # ~780M rows) packs ~24M groups into each reducer's hash table and
+        # spills; 8× caps per-reducer state at ~64 MB-class partitions
+        # while AQE still collapses tiny query shuffles to a handful of
+        # tasks. Explicit repartition(n, col) exchanges (segment routing)
+        # are REPARTITION_BY_NUM and stay untouched by AQE.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                os.environ.get("SPARK_GRAFT_INIT_PARTS",
+                               str(shuffle_partitions * 8)))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
