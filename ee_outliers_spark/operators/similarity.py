@@ -49,9 +49,6 @@ def cosine_scores(df: DataFrame, id_col: str, vec_col: str,
 def cosine_topk(df: DataFrame, id_col: str, vec_col: str,
                 query: list[float], k: int) -> DataFrame:
     """Exact top-k by cosine (desc), id asc tiebreak → (id, cosine)."""
-    from ..session import spread_input
-
-    df = spread_input(df.select(id_col, vec_col))
     return (
         cosine_scores(df, id_col, vec_col, query)
         .orderBy(F.desc("cosine"), F.asc(id_col))

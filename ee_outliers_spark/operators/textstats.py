@@ -12,7 +12,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..session import spread_input
 from ..tokenizer import tokens_col, tokens_sql
 
 # small per-language stopword profiles (deterministic heuristic langid)
@@ -151,7 +150,6 @@ def fingerprint_sql(expr: str) -> str:
 
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass profile: (id, n_tokens, lang_pred, quality, fingerprint)."""
-    df = spread_input(df.select(id_col, text_col))
     return df.select(
         F.col(id_col),
         token_count_col(text_col).alias("n_tokens"),
@@ -205,8 +203,7 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str
             "top_bigram_pm": pd.Series(tb, dtype="int64"),
         })
 
-    r = spread_input(df.select(id_col, text_col)).select(
-        F.col(id_col), rep(F.col(text_col)).alias("_r"))
+    r = df.select(F.col(id_col), rep(F.col(text_col)).alias("_r"))
     return r.select(
         id_col,
         F.col("_r.dup_token_pm").alias("dup_token_pm"),
