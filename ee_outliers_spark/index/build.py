@@ -968,11 +968,16 @@ def auto_num_segments(spark: SparkSession, n_docs: int,
     need = math.ceil(max(1, n_docs) / docs_per_segment)
     if need <= cores:
         return cores
-    waves = max(2, need // cores)
-    nseg = waves * cores
-    if need / nseg > 1.5:  # unreachable for waves>=2; guards future edits
-        nseg = math.ceil(need / cores) * cores
-    return min(cap, nseg)
+    # Need-based count, NOT rounded down to whole waves (round-7 revision
+    # of the round-6 wave alignment): the two-armed interleaved probe at
+    # 2.4M docs (bench_evidence/wave_align_r7/) measured ceil-need 147
+    # segments ~10% FASTER to build than wave-aligned 128 in every round —
+    # smaller segments' per-task cost is sub-linear enough that a ragged
+    # extra wave of cheaper tasks beats exact waves of pricier ones. The
+    # round-6 query-side argument for alignment (per-query cost linear in
+    # segment count) is gone: query kernels now pack into `cores` tasks
+    # regardless of segment count (routed_segment_groupby).
+    return min(cap, need)
 
 
 def build_segments(

@@ -75,7 +75,10 @@ def orchestrate() -> None:
     sides = {147: [], 128: []}  # unaligned (pre-wavealign ceil) vs aligned
     log = open(os.path.join(OUT_DIR, "campaign.log"), "w")
     for i in range(REPS):
-        for nseg in (147, 128):
+        # alternate side order per round: monotone host drift within a
+        # round otherwise biases whichever side always runs second
+        order = (147, 128) if i % 2 == 0 else (128, 147)
+        for nseg in order:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker",
                  str(nseg)],

@@ -702,24 +702,21 @@ def test_phrase_seg_match_repeated_sloppy_randomized():
 
 def test_auto_num_segments_budget(spark):
     """Derived segment count follows the SPIMI memory budget: floor at the
-    core count, ~16k docs per segment above it rounded DOWN to whole
-    scheduling waves (per-segment query overhead is linear in segment
-    count and a ragged last wave straggles — round-6 decomposition),
-    capped (beyond the cap a corpus shards into multiple indexes)."""
+    core count, ~16k docs per segment (ceil of the need) above it — the
+    round-7 two-armed wave-align probe measured need-based counts ~10%
+    faster to build than wave-down-rounded ones, and query kernels now
+    pack into `cores` tasks regardless of segment count — capped (beyond
+    the cap a corpus shards into multiple indexes)."""
     import math
 
     from ee_outliers_spark.index.build import auto_num_segments
 
     cores = spark.sparkContext.defaultParallelism
     assert auto_num_segments(spark, 100) == cores
-    # 1M docs -> need 62 segments -> max(2, 62//cores) whole waves
-    want_1m = max(2, 62 // cores) * cores
-    assert auto_num_segments(spark, 1_000_000) == want_1m
-    # 2.4M -> need 147 -> whole waves, never the ragged 4.6
-    got = auto_num_segments(spark, 2_400_000)
-    assert got % cores == 0 and got == max(2, 147 // cores) * cores
-    # implied stretch stays near the budget
-    assert 147 / got <= 1.5
+    # 1M docs -> need ceil(1M/16384) = 62 segments (exact memory budget)
+    assert auto_num_segments(spark, 1_000_000) == max(cores, 62)
+    # 2.4M -> need 147: the budget, not a wave-rounded substitute
+    assert auto_num_segments(spark, 2_400_000) == max(cores, 147)
     assert auto_num_segments(spark, 10**9) == 4096
     assert math.ceil(10**9 / 16_384) / 4096 > 1  # cap binds, documented
 
