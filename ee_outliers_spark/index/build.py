@@ -42,6 +42,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import time
 from collections import Counter
 from collections.abc import Iterator
@@ -850,11 +851,13 @@ def refresh_stats_and_termstats(spark: SparkSession, paths: IndexPaths,
                                 live: list[int] | None = None,
                                 positions: bool | None = None,
                                 analyzed_fields: list[str] | None = None,
+                                sidecar_rows: list | None = None,
                                 ) -> None:
     """Recompute stats.json (from doclen sidecar rows) + termstats.parquet
     (vocabulary-sized agg over term rows) from the live segment table.
     ``live``/``positions``/``analyzed_fields`` default to the previous
-    commit's values."""
+    commit's values. ``sidecar_rows`` (collect_sidecar_rows of the SAME
+    live set) replaces the two stats scan-jobs with driver-side sums."""
     prev = load_stats(paths)
     if live is None:
         live = prev.get("live_segments")
@@ -866,29 +869,50 @@ def refresh_stats_and_termstats(spark: SparkSession, paths: IndexPaths,
         segs = spark.read.parquet(paths.segments)
         if live is not None:
             segs = segs.where(F.col("seg_id").isin([int(s) for s in live]))
-    srow = segs.where(F.col("term").isNull()).agg(
-        F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s")
-    ).collect()[0]
-    n_docs = int(srow["n"] or 0)
-    avgdl = (float(srow["s"]) / n_docs) if n_docs else 0.0
-    stats = {"n_docs": n_docs, "avgdl": avgdl, "k1": K1, "b": B, "block": BLOCK,
+    if sidecar_rows is not None:
+        n_docs = sum(int(r["n_docs"]) for r in sidecar_rows
+                     if r["term"] is None)
+        sum_dl = sum(int(r["sum_dl"]) for r in sidecar_rows
+                     if r["term"] is None)
+    else:
+        srow = segs.where(F.col("term").isNull()).agg(
+            F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s")
+        ).collect()[0]
+        n_docs = int(srow["n"] or 0)
+        sum_dl = int(srow["s"] or 0)
+    avgdl = (float(sum_dl) / n_docs) if n_docs else 0.0
+    # sum_dl is the exact integer total behind avgdl — stored so appends can
+    # update the commit point incrementally (old + new-batch totals) without
+    # an O(index) rescan; readers only ever use n_docs/avgdl
+    stats = {"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
+             "k1": K1, "b": B, "block": BLOCK,
              "positions": bool(positions)}
     if analyzed_fields:
         stats["analyzed_fields"] = [f.lower() for f in analyzed_fields]
         # per-field docCount/avgdl from the "field:" sidecar rows' totals
         # (Lucene per-field norms: idf uses the field's docCount, the length
         # norm the field's own avgdl) — a len(fields)×n_segments-row agg
-        frows = (
-            segs.where(F.col("term").isNotNull()
-                       & F.col("term").endswith(":"))
-            .groupBy("term")
-            .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
-            .collect()
-        )
+        if sidecar_rows is not None:
+            acc: dict[str, list[int]] = {}
+            for r in sidecar_rows:
+                if r["term"] is not None:
+                    a = acc.setdefault(r["term"], [0, 0])
+                    a[0] += int(r["n_docs"])
+                    a[1] += int(r["sum_dl"])
+            frows = [{"term": t, "n": n, "s": s} for t, (n, s) in acc.items()]
+        else:
+            frows = (
+                segs.where(F.col("term").isNotNull()
+                           & F.col("term").endswith(":"))
+                .groupBy("term")
+                .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+                .collect()
+            )
         stats["field_stats"] = {
             r["term"][:-1]: {
                 "n_docs": int(r["n"] or 0),
                 "avgdl": (float(r["s"]) / int(r["n"])) if r["n"] else 0.0,
+                "sum_dl": int(r["s"] or 0),
             }
             for r in frows
         }
@@ -907,24 +931,50 @@ def refresh_stats_and_termstats(spark: SparkSession, paths: IndexPaths,
     commit_stats(paths, stats)
 
 
-def write_manifest(spark: SparkSession, paths: IndexPaths, seg_ids: list[int],
-                   lineage: dict, wall: float,
-                   segs: DataFrame | None = None) -> None:
-    if segs is None:
-        segs = spark.read.parquet(paths.segments)
-    # sidecar rows carry the per-segment totals (emitted by the kernel):
-    # 1 row per segment, columnar-pruned scan — no full-table aggregation
-    seg_stats = (
-        segs
-        .where(F.col("seg_id").isin(seg_ids) & F.col("term").isNull())
-        .select(
-            "seg_id",
-            F.col("n_postings").alias("postings"),
-            F.col("df_local").alias("terms"),
-            "build_secs",
-        )
+def collect_sidecar_rows(segs: DataFrame) -> list:
+    """ONE job collecting every per-segment bookkeeping row (the doclen
+    sidecar: term NULL; the per-field norm sidecars: term "field:"). The
+    manifest, stats.json totals and per-field stats are all derived from
+    these num_segments × (1 + n_fields) rows driver-side, instead of one
+    scan-job each over the (cached, blob-carrying) segment frame — 3 small
+    post-kernel jobs → 1 on the build critical path (guide §5: the driver
+    should schedule almost nothing per build beyond the kernel itself)."""
+    return (
+        segs.where(F.col("term").isNull() | F.col("term").endswith(":"))
+        .select("seg_id", "term", "n_docs", "sum_dl", "n_postings",
+                "df_local", "build_secs")
         .collect()
     )
+
+
+def write_manifest(spark: SparkSession, paths: IndexPaths, seg_ids: list[int],
+                   lineage: dict, wall: float,
+                   segs: DataFrame | None = None,
+                   sidecar_rows: list | None = None) -> None:
+    if sidecar_rows is not None:
+        ids = {int(s) for s in seg_ids}
+        seg_stats = [
+            {"seg_id": r["seg_id"], "postings": r["n_postings"],
+             "terms": r["df_local"], "build_secs": r["build_secs"]}
+            for r in sidecar_rows
+            if r["term"] is None and int(r["seg_id"]) in ids
+        ]
+    else:
+        if segs is None:
+            segs = spark.read.parquet(paths.segments)
+        # sidecar rows carry the per-segment totals (emitted by the kernel):
+        # 1 row per segment, columnar-pruned scan — no full-table aggregation
+        seg_stats = (
+            segs
+            .where(F.col("seg_id").isin(seg_ids) & F.col("term").isNull())
+            .select(
+                "seg_id",
+                F.col("n_postings").alias("postings"),
+                F.col("df_local").alias("terms"),
+                "build_secs",
+            )
+            .collect()
+        )
     with open(paths.manifest, "a") as fh:
         for r in seg_stats:
             fh.write(json.dumps({
@@ -936,6 +986,79 @@ def write_manifest(spark: SparkSession, paths: IndexPaths, seg_ids: list[int],
                 "lineage": lineage,
                 "wall_secs_batch": wall,
             }) + "\n")
+
+
+def incremental_append_refresh(spark: SparkSession, paths: IndexPaths,
+                               new_ids: list[int],
+                               sidecar_rows: list | None = None) -> bool:
+    """Append-only commit-point refresh: fold ONE new batch's segment
+    totals and term dfs into the previous stats.json / termstats.parquet
+    instead of re-aggregating every live segment — O(batch + vocabulary)
+    per append, not O(index). The previous full refresh re-scanned ALL live
+    segments' term rows per append batch (the round-7 "Not yet optimized"
+    item); with the exact integer totals now stored in stats.json
+    ("sum_dl", per-field too), the fold is value-identical to the full
+    recompute (integer sums are associative; per-term df sums over
+    old-termstats ∪ new-batch rows equal the all-segments sums). The new
+    termstats is written to a sibling tmp dir and swapped in with two
+    renames, so a crash never leaves a truncated table — stats.json (the
+    commit point) flips atomically afterwards, as always.
+
+    Returns False (no writes) when the previous commit predates the stored
+    totals or termstats is missing — callers fall back to the full
+    refresh."""
+    prev = load_stats(paths)
+    if "sum_dl" not in prev or not os.path.isdir(paths.termstats):
+        return False
+    fs_prev = prev.get("field_stats") or {}
+    if any("sum_dl" not in v for v in fs_prev.values()):
+        return False
+    new_segs = spark.read.parquet(paths.segments).where(
+        F.col("seg_id").isin([int(s) for s in new_ids]))
+    if sidecar_rows is None:
+        sidecar_rows = collect_sidecar_rows(new_segs)
+    n_new = sum(int(r["n_docs"]) for r in sidecar_rows if r["term"] is None)
+    s_new = sum(int(r["sum_dl"]) for r in sidecar_rows if r["term"] is None)
+    stats = dict(prev)
+    stats["n_docs"] = int(prev["n_docs"]) + n_new
+    stats["sum_dl"] = int(prev["sum_dl"]) + s_new
+    stats["avgdl"] = (float(stats["sum_dl"]) / stats["n_docs"]
+                      if stats["n_docs"] else 0.0)
+    acc: dict[str, list[int]] = {}
+    for r in sidecar_rows:
+        if r["term"] is not None:
+            a = acc.setdefault(r["term"][:-1], [0, 0])
+            a[0] += int(r["n_docs"])
+            a[1] += int(r["sum_dl"])
+    if fs_prev or acc:
+        fs: dict[str, dict] = {}
+        for f in set(fs_prev) | set(acc):
+            v = fs_prev.get(f) or {"n_docs": 0, "sum_dl": 0}
+            n = int(v["n_docs"]) + acc.get(f, (0, 0))[0]
+            s = int(v["sum_dl"]) + acc.get(f, (0, 0))[1]
+            fs[f] = {"n_docs": n, "avgdl": (float(s) / n) if n else 0.0,
+                     "sum_dl": s}
+        stats["field_stats"] = fs
+    live = prev.get("live_segments")
+    if live is not None:
+        stats["live_segments"] = sorted(
+            {int(s) for s in live} | {int(s) for s in new_ids})
+    new_ts = (
+        new_segs.where(F.col("term").isNotNull()
+                       & ~F.col("term").endswith(":"))
+        .select("term", F.col("df_local").cast("long").alias("df")))
+    merged = (spark.read.parquet(paths.termstats).unionByName(new_ts)
+              .groupBy("term").agg(F.sum("df").cast("long").alias("df")))
+    tmp = paths.termstats + ".tmp"
+    old = paths.termstats + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(paths.termstats, old)
+    os.rename(tmp, paths.termstats)
+    shutil.rmtree(old, ignore_errors=True)
+    commit_stats(paths, stats)
+    return True
 
 
 def auto_num_segments(spark: SparkSession, n_docs: int,
@@ -1040,12 +1163,17 @@ def build_segments(
         seg_df = seg_df.persist()
         seg_df.write.mode(mode).partitionBy("seg_id").parquet(paths.segments)
         wall = time.monotonic() - t0
+        # one bookkeeping job feeds manifest + stats totals + field stats
+        # (fresh build: seg_df IS the live set; on resume the totals must
+        # also cover previously-completed segments, so only the manifest
+        # can use it there)
+        sidecar = collect_sidecar_rows(seg_df)
         write_manifest(
             spark, paths, todo,
             {"source": df.schema.simpleString(), "doc_col": doc_col,
              "text_col": text_col, "num_segments": num_segments,
              "positions": positions, "analyzed_fields": analyzed_fields},
-            wall, segs=seg_df,
+            wall, segs=seg_df, sidecar_rows=sidecar,
         )
         if done:
             # resume: stats must also cover previously-completed segments
@@ -1056,7 +1184,8 @@ def build_segments(
             refresh_stats_and_termstats(spark, paths, num_segments,
                                         segs=seg_df, live=live,
                                         positions=positions,
-                                        analyzed_fields=analyzed_fields)
+                                        analyzed_fields=analyzed_fields,
+                                        sidecar_rows=sidecar)
         seg_df.unpersist()
     elif not (os.path.exists(paths.stats)
               and os.path.isdir(paths.termstats)):

@@ -33,8 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.build import (
-    IndexPaths, load_stats, refresh_stats_and_termstats, segment_frames_df,
-    write_manifest,
+    IndexPaths, collect_sidecar_rows, incremental_append_refresh, load_stats,
+    refresh_stats_and_termstats, segment_frames_df, write_manifest,
 )
 
 
@@ -78,13 +78,24 @@ def append_segments(
     wall = time.monotonic() - t0
 
     new_ids = list(range(base_seg, base_seg + num_segments))
+    # ONE pruned job over the new batch's partition dirs feeds the manifest
+    # AND the incremental stats fold
+    new_segs = spark.read.parquet(paths.segments).where(
+        F.col("seg_id").isin(new_ids))
+    sidecar = collect_sidecar_rows(new_segs)
     write_manifest(spark, paths, new_ids,
-                   {"kind": "incremental_append", "base_seg": base_seg}, wall)
+                   {"kind": "incremental_append", "base_seg": base_seg}, wall,
+                   sidecar_rows=sidecar)
     # stats (n_docs, avgdl) + termstats refresh — old segments stay valid
-    # under avgdl drift because block metadata is avgdl-independent
-    live = stats.get("live_segments")
-    new_live = sorted(set(live) | set(new_ids)) if live is not None else None
-    refresh_stats_and_termstats(spark, paths, live=new_live)
+    # under avgdl drift because block metadata is avgdl-independent.
+    # Incremental fold (O(batch + vocab), not O(index)); full recompute
+    # only when the commit predates the stored integer totals.
+    if not incremental_append_refresh(spark, paths, new_ids,
+                                      sidecar_rows=sidecar):
+        live = stats.get("live_segments")
+        new_live = (sorted(set(live) | set(new_ids))
+                    if live is not None else None)
+        refresh_stats_and_termstats(spark, paths, live=new_live)
     with open(paths.manifest) as fh:
         done = {json.loads(l)["seg_id"] for l in fh if l.strip()}
     return sorted(s for s in new_ids if s in done)

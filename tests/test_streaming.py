@@ -263,3 +263,34 @@ def test_streaming_first_seen_stateful_across_restarts(
     got2 = {(r["aggregator"], r["target"], r["first_ts"].minute)
             for r in spark.read.parquet(out_dir).collect()}
     assert got2 == got | {("hostA", "proc3", 22), ("hostB", "proc2", 25)}
+
+
+def test_incremental_append_refresh_matches_full_recompute(
+        spark, documents, tmp_path_factory):
+    """The O(batch)+O(vocab) append fold must be value-identical to the full
+    all-segments refresh: stats.json (incl. exact sum_dl totals and
+    per-field stats) and every termstats df row."""
+    import json
+
+    from ee_outliers_spark.index.build import refresh_stats_and_termstats
+
+    out = str(tmp_path_factory.mktemp("index_incr_fold"))
+    first = documents.where(F.col("doc_id") < 300)
+    second = documents.where(F.col("doc_id") >= 300)
+    paths = build_segments(spark, first, "doc_id", "text", out,
+                           num_segments=4, analyzed_fields=["lang"])
+    append_segments(spark, second, paths, num_segments=2)
+
+    incr_stats = json.load(open(paths.stats))
+    incr_ts = {r["term"]: int(r["df"])
+               for r in spark.read.parquet(paths.termstats).collect()}
+    # exact totals present for the NEXT append's fold
+    assert "sum_dl" in incr_stats
+    assert all("sum_dl" in v for v in incr_stats["field_stats"].values())
+
+    refresh_stats_and_termstats(spark, paths)  # full recompute, same live set
+    full_stats = json.load(open(paths.stats))
+    full_ts = {r["term"]: int(r["df"])
+               for r in spark.read.parquet(paths.termstats).collect()}
+    assert incr_stats == full_stats
+    assert incr_ts == full_ts
