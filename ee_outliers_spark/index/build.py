@@ -607,6 +607,24 @@ def _route_keys(n: int) -> list[int]:
     return routes  # type: ignore[return-value]
 
 
+def _with_route(df: DataFrame, num_segments: int,
+                seg_offset: int = 0) -> DataFrame:
+    """Attach the one-partition-per-segment ``_route`` key (see
+    ``_route_keys``). Out-of-contract seg_ids route to a distinct negative
+    key (their own group) instead of silently aliasing another segment's
+    route via element_at's negative/end-relative indexing — a contract
+    violation then surfaces as an extra group, never as silent index
+    corruption."""
+    routes = _route_keys(num_segments)
+    route_arr = F.array(*[F.lit(int(r)) for r in routes])
+    idx = (F.col("seg_id") - int(seg_offset) + 1).cast("int")
+    return df.withColumn(
+        "_route",
+        F.when((idx >= 1) & (idx <= int(num_segments)),
+               F.element_at(route_arr, idx))
+        .otherwise((-F.col("seg_id") - 1).cast("int")))
+
+
 def _routed_by_segment(df: DataFrame, num_segments: int,
                        seg_offset: int = 0):
     """Exchange ``df`` so each segment occupies its own partition (1 task =
@@ -615,19 +633,8 @@ def _routed_by_segment(df: DataFrame, num_segments: int,
     packs 2+ segments while another sits idle — on a 1000-executor cluster
     this is segment→reducer placement, the thing HashPartitioning alone
     cannot guarantee."""
-    routes = _route_keys(num_segments)
-    route_arr = F.array(*[F.lit(int(r)) for r in routes])
-    idx = (F.col("seg_id") - int(seg_offset) + 1).cast("int")
-    # out-of-contract seg_ids route to a distinct negative key (their own
-    # group) instead of silently aliasing another segment's route via
-    # element_at's negative/end-relative indexing — a contract violation
-    # then surfaces as an extra group, never as silent index corruption
-    routed = df.withColumn(
-        "_route",
-        F.when((idx >= 1) & (idx <= int(num_segments)),
-               F.element_at(route_arr, idx))
-        .otherwise((-F.col("seg_id") - 1).cast("int")))
-    return routed.repartition(num_segments, "_route").groupBy("_route")
+    return (_with_route(df, num_segments, seg_offset)
+            .repartition(num_segments, "_route").groupBy("_route"))
 
 
 def live_seg_ids(stats: dict) -> list[int] | None:
@@ -712,6 +719,67 @@ def routed_segment_groupby(df: DataFrame, seg_ids: list[int] | None,
     return routed.repartition(len(ids), "_route").groupBy("_route")
 
 
+#: Non-positional pair-stream shape. "agg" (two exchanges): explode →
+#: groupBy(seg,term,doc) with map-side combine → route repartition →
+#: kernel. "textroute" (default since round 7 — ONE exchange): route the
+#: RAW TEXT by segment first (1× corpus bytes — the Lucene doc→shard
+#: shape), then tokenize + explode + aggregate POST-shuffle: the grouping
+#: keys include the route key, so Catalyst elides the aggregation
+#: exchange and partial+final hash aggregation runs inside the route
+#: partitions, feeding FlatMapGroupsInPandas without any further
+#: exchange. Tokenization and counting both stay JVM codegen either way;
+#: kernel input rows are value-identical, so segments stay byte-identical
+#: (differential test). Interleaved same-JVM A/B at 6M docs / 32 cores
+#: (bench_evidence/pair_stream_r7/): textroute 53.1/54.8/57.1 s vs agg
+#: 76.2/76.9/114.4 s — textroute won every round in both orders (0.71×).
+#: A third shape — raw exploded tokens through one exchange ("fused") —
+#: measured WORSE than agg (95.6 vs 68.1 s medians, same evidence dir):
+#: token rows outweigh the text they came from once map-side combine is
+#: lost; routing the text keeps the exchange at 1× corpus bytes.
+PAIR_STREAM = os.environ.get("SPARK_GRAFT_PAIR_STREAM", "textroute")
+
+
+def _textroute_pair_groupby(base: DataFrame, num_segments: int,
+                            analyzed_fields: tuple[str, ...] = (),
+                            seg_offset: int = 0,
+                            todo: list[int] | None = None):
+    """Single-exchange NON-positional pair stream (see PAIR_STREAM note).
+    The per-doc membership row (term NULL — zero-token docs must still
+    enter the doc table) comes from a NULL sentinel appended to each doc's
+    token array, so the whole stream is ONE explode+aggregate branch — a
+    Union here would erase the route partitioning and reintroduce the
+    exchange. The kernel ignores the membership row's cnt, so its value
+    (1 here, 0 in the "agg" stream) cannot affect segment bytes.
+
+    A POSITIONAL variant (post-shuffle ``sort_array(collect_list(pos))``
+    of (term,pos)-struct explodes) was built and measured 2.5× SLOWER than
+    the text kernel at 6M docs (244 s vs 96 s, bench_evidence/
+    pair_stream_r7/posab_round0.jsonl): collect_list aggregation over
+    ~10^6 groups per partition abandons hash aggregation for the
+    sort-based ObjectHashAggregate fallback — the same pathology that
+    makes the two-exchange positional "pairs" stream 344 s. Positional
+    builds stay on the text kernel (Python in-worker inversion)."""
+    seg = ((F.col("doc_id") % num_segments).cast("int")
+           + F.lit(int(seg_offset))).cast("int").alias("seg_id")
+    src = base.select(seg, "*")
+    if todo is not None:
+        src = src.where(F.col("seg_id").isin(
+            [int(s) + int(seg_offset) for s in todo]))
+    routed = _with_route(src, num_segments, seg_offset).repartition(
+        num_segments, "_route")
+    toks = tokens_col("text")
+    for f in analyzed_fields:
+        pf = f.lower() + ":"
+        toks = F.concat(toks, F.transform(
+            tokens_col(f.lower()), lambda x: F.concat(F.lit(pf), x)))
+    toks = F.concat(toks, F.array(F.lit(None).cast("string")))
+    pairs = (routed.select("_route", "seg_id", F.col("doc_id"),
+                           F.explode(toks).alias("term"))
+             .groupBy("_route", "seg_id", "term", "doc_id")
+             .agg(F.count("*").cast("long").alias("cnt")))
+    return pairs.groupBy("_route")
+
+
 def segment_frames_df(base: DataFrame, num_segments: int, positions: bool,
                       analyzed_fields: tuple[str, ...] = (),
                       seg_offset: int = 0,
@@ -726,6 +794,10 @@ def segment_frames_df(base: DataFrame, num_segments: int, positions: bool,
     unfinished seg_ids (resume)."""
     if via_text is None:
         via_text = positions and POSITIONAL_KERNEL == "text"
+    if not via_text and not positions and PAIR_STREAM == "textroute":
+        return _textroute_pair_groupby(
+            base, num_segments, tuple(analyzed_fields), seg_offset, todo,
+        ).applyInPandas(_pairs_segment_frame, schema=SEGMENT_SCHEMA)
     if via_text:
         seg = ((F.col("doc_id") % num_segments).cast("int")
                + F.lit(int(seg_offset))).cast("int").alias("seg_id")

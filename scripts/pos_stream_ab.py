@@ -1,9 +1,10 @@
-"""Interleaved pair-stream A/B for the NON-positional build in ONE warm
-JVM (host noise hits both sides equally; side order alternates per round
-to cancel drift). Sides are PAIR_STREAM values (default: agg vs fused).
+"""Interleaved POSITIONAL build A/B in ONE warm JVM: POSITIONAL_KERNEL
+sides (text = route raw text + Python in-worker inversion; textroute =
+route raw text + post-shuffle JVM posexplode/collect_list aggregation;
+pairs = two-exchange positional pair shuffle). Side order alternates per
+round to cancel host drift.
 
-Usage: python scripts/pair_stream_ab.py CPUS MULT TEXTREP ROUNDS [SIDE_A SIDE_B]
-Prints one JSON line: per-side build-seconds lists + medians.
+Usage: python scripts/pos_stream_ab.py CPUS MULT TEXTREP ROUNDS [SIDE_A SIDE_B]
 """
 import json
 import os
@@ -19,13 +20,14 @@ cpus = int(sys.argv[1])
 mult = int(sys.argv[2]) if len(sys.argv) > 2 else 120
 textrep = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 3
-SIDES = (sys.argv[5], sys.argv[6]) if len(sys.argv) > 6 else ("agg", "fused")
+SIDES = (sys.argv[5], sys.argv[6]) if len(sys.argv) > 6 else (
+    "text", "textroute")
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 from ee_outliers_spark.session import get_spark  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-spark = get_spark("psab-%d" % cpus, master="local[%d]" % cpus,
+spark = get_spark("posab-%d" % cpus, master="local[%d]" % cpus,
                   shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(sf_dir + "/documents.parquet")
@@ -52,13 +54,13 @@ times = {SIDES[0]: [], SIDES[1]: []}
 for r in range(rounds):
     order = SIDES if r % 2 == 0 else SIDES[::-1]
     for side in order:
-        B.PAIR_STREAM = side
-        out = tempfile.mkdtemp(prefix="psab_")
+        B.POSITIONAL_KERNEL = side
+        out = tempfile.mkdtemp(prefix="posab_")
         try:
             t0 = time.monotonic()
             B.build_segments(spark, big, "doc_id", "text", out,
                              num_segments=None, resume=False,
-                             positions=False)
+                             positions=True)
             times[side].append(round(time.monotonic() - t0, 3))
         finally:
             shutil.rmtree(out, ignore_errors=True)

@@ -535,6 +535,8 @@ def test_text_kernel_matches_pair_stream_segments(spark, documents):
             )
         return out
 
+    from ee_outliers_spark.index.build import _textroute_pair_groupby
+
     for positional in (True, False):
         for fields in ((), ("title",)):
             got = key_rows(segment_frames_df(
@@ -547,6 +549,13 @@ def test_text_kernel_matches_pair_stream_segments(spark, documents):
             assert set(got) == set(want), (positional, fields)
             for k in want:
                 assert got[k] == want[k], (positional, fields, k)
+            if not positional:
+                # third stream shape: single-exchange routed text with
+                # post-shuffle JVM aggregation (the non-positional default)
+                tr = key_rows(_textroute_pair_groupby(
+                    base, 4, fields).applyInPandas(
+                    _pairs_segment_frame, schema=SEGMENT_SCHEMA).collect())
+                assert tr == want, ("textroute", fields)
 
 
 def test_segment_routing_is_one_task_per_segment(spark, documents):
