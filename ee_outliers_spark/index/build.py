@@ -449,35 +449,61 @@ def _text_segment_kernel(analyzed_fields: tuple[str, ...] = (),
     (pinned by a differential test)."""
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        import itertools
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         t0 = time.monotonic()
         seg_id = int(pdf["seg_id"].iloc[0])  # grouped by the route key
         pdf = pdf.sort_values("doc_id")
         docs_sorted = pdf["doc_id"].to_numpy(np.int64)
-        tok_lists = pdf["text"].fillna("").str.lower().str.findall(
-            "[a-z0-9]+")
-        dls_sorted = tok_lists.str.len().to_numpy(np.int64)
 
-        # Dictionary via hash-factorize over OBJECT pointers, then a
-        # vocabulary-sized argsort + rank remap. A materialized unicode
-        # token array (<U maxlen × 4 B/char) hits ~250 MB/segment on web
-        # text and np.unique sorts all of it: measured 5.1 s/segment vs
-        # 0.37 s for factorize+rank — and the big allocations compound
+        def tok_stream(texts: pd.Series):
+            """(codes int64, counts-per-doc int64, vocab object) without
+            materializing one Python object per token: lowercase stays in
+            Python (the exact tokenize_py case mapping), the split runs as
+            an RE2 kernel on the SAME complement class as tokens_col
+            (maximal [a-z0-9] runs = split on [^a-z0-9]+ minus empties),
+            and the dictionary comes from Arrow dictionary_encode —
+            Python strings exist only at VOCABULARY size. The previous
+            pandas str.findall + factorize built ~10^6 list/str objects
+            per segment and was the single largest kernel phase (0.93 s of
+            a 1.73 s 16k-doc positional kernel; this path: 0.25 s)."""
+            low = texts.fillna("").str.lower()
+            split = pc.split_pattern_regex(
+                pa.array(low, type=pa.string()), "[^a-z0-9]+")
+            flat = pc.list_flatten(split)
+            keep = pc.not_equal(pc.binary_length(flat), 0)
+            flat = flat.filter(keep)
+            raw_counts = np.diff(np.asarray(split.offsets, dtype=np.int64))
+            if len(flat) == int(raw_counts.sum()):
+                counts = raw_counts  # no empty pieces — common fast path
+            else:
+                parent = np.repeat(
+                    np.arange(len(raw_counts), dtype=np.int64), raw_counts)
+                counts = np.bincount(
+                    parent[np.asarray(keep, dtype=bool)],
+                    minlength=len(raw_counts)).astype(np.int64)
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy().astype(np.int64, copy=False)
+            uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+            return codes, counts, uniq
+
+        # Dictionary via Arrow dictionary-encode, then a vocabulary-sized
+        # argsort + rank remap. A materialized unicode token array
+        # (<U maxlen × 4 B/char) hits ~250 MB/segment on web text and
+        # np.unique sorts all of it: measured 5.1 s/segment vs 0.37 s for
+        # the hash-encode+rank shape — and the big allocations compound
         # into page-fault storms on this host (BENCH.md round 5).
         code_parts, doc_parts, pos_parts, vocab_parts = [], [], [], []
         code_base = 0
+        dls_sorted = None
 
-        def add_stream(lists: pd.Series, prefix: str) -> None:
+        def add_stream(texts: pd.Series, prefix: str):
             nonlocal code_base
-            counts = lists.str.len().to_numpy(np.int64)
+            codes, counts, uniq = tok_stream(texts)
             total = int(counts.sum())
             if total == 0:
-                return
-            flat = np.fromiter(itertools.chain.from_iterable(lists),
-                               dtype=object, count=total)
-            codes, uniq = pd.factorize(flat)
-            uniq = np.asarray(uniq, dtype=object)
+                return counts
             if prefix:
                 # prefix at VOCABULARY size, never per token
                 uniq = np.array([prefix + t for t in uniq], dtype=object)
@@ -486,21 +512,19 @@ def _text_segment_kernel(analyzed_fields: tuple[str, ...] = (),
                 pos_parts.append(np.arange(total, dtype=np.int64)
                                  - np.repeat(starts, counts))
             doc_parts.append(np.repeat(docs_sorted, counts))
-            codes = np.asarray(codes, dtype=np.int64)  # no-op on int64
             code_parts.append(codes + code_base if code_base else codes)
             vocab_parts.append(uniq)
             code_base += len(uniq)
+            return counts
 
-        add_stream(tok_lists, "")
+        dls_sorted = add_stream(pdf["text"], "")
         field_sidecars = {}
         for f in analyzed_fields:
-            fl = pdf[f].fillna("").str.lower().str.findall("[a-z0-9]+")
-            flens = fl.str.len().to_numpy(np.int64)
+            flens = add_stream(pdf[f], f + ":")
             m = flens > 0
             if m.any():
                 # docs_sorted is ascending, so the masked slice stays sorted
                 field_sidecars[f + ":"] = (docs_sorted[m], flens[m])
-            add_stream(fl, f + ":")
 
         if not code_parts:
             return _assemble_segment(

@@ -41,6 +41,12 @@ def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
             break
         bound = np.uint64(int(bound) << 7)
     total = int(nbytes.sum())
+    if total == v.size:
+        # every value fits one byte (no continuation bit set): the encoded
+        # stream IS the values as uint8. This is the dominant case for
+        # position streams (in-doc offsets < 128) and tf/gap streams on
+        # web-scale text — one astype instead of the per-byte-level passes.
+        return v.astype(np.uint8).tobytes(), nbytes
     out = np.zeros(total, dtype=np.uint8)
     # position of first byte of each value
     starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
