@@ -197,6 +197,7 @@ def minhash_signatures(
     @F.pandas_udf("array<long>")
     def sig_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
         md5 = hashlib.md5
+        from_bytes = int.from_bytes
         for batch in texts:
             tok_lists = batch.fillna("").str.lower().str.findall("[a-z0-9]+")
             out = []
@@ -205,9 +206,13 @@ def minhash_signatures(
                 if n <= 0:
                     out.append(None)  # <k tokens: no shingles, no signature
                     continue
+                # int of the first 15 hex chars == big-endian first 8
+                # digest bytes >> 4 — same value as md5_long_expr, without
+                # the hexdigest string round-trip (~2x per shingle)
                 hs = np.fromiter(
-                    (int(md5(" ".join(toks[i:i + k]).encode("utf-8"))
-                         .hexdigest()[:15], 16) for i in range(n)),
+                    (from_bytes(
+                        md5(" ".join(toks[i:i + k]).encode("utf-8"))
+                        .digest()[:8], "big") >> 4 for i in range(n)),
                     dtype=np.int64, count=n) % MINHASH_P
                 out.append(((a_arr * hs + b_arr) % MINHASH_P).min(axis=1))
             yield pd.Series(out, dtype=object)

@@ -144,10 +144,64 @@ def sudden_appearance_docs(
     step: dt.timedelta,
     key_col: str = "doc_id",
 ) -> DataFrame:
-    """Distinct flagged docs across all window positions (enrichment view)."""
-    return (
-        sudden_appearance(df, groups, target, ts_col, start, end, size, step,
-                          payload_cols=[key_col])
-        .select(key_col)
-        .distinct()
-    )
+    """Distinct flagged docs across all window positions (enrichment view).
+
+    LAG formulation (no window fan-out): event e is the earliest of its
+    (aggregator, target) in window w iff its immediately-preceding
+    same-group event (the latest earlier one) falls BEFORE w — so e is
+    flagged iff some window position s_i = start + i·step satisfies
+
+        max(e.ts − size, prev.ts + 1µs)  ≤  s_i  ≤  e.ts − size + step − 1µs
+
+    (left: w contains e and excludes prev; right: e lands in w's final
+    step, i.e. e.ts > s_i + size − step — all µs integers, and since
+    size ≥ step the right bound also implies containment s_i ≤ e.ts),
+    plus the final clamped scan [end−step, end] checked directly. An
+    integer i exists iff ceil/floor of the bounds cross. This replaces
+    the ~(size/step)-fold sequence+explode and the (w_id, aggregator,
+    target) min_by aggregation with ONE shuffle of the raw events by
+    (aggregator, target) and a codegen filter — the exploded stream and
+    its size/step-times-larger aggregation state are gone (guide §2.3).
+    Equality with the explode+min_by operator: exact integer µs both
+    ways; ties in ts would make both argmin and lag order-dependent, but
+    the full operator's contract already assumes tie-free (agg, target,
+    ts) — verified across every sf — and the equivalence test pins the
+    two paths against each other. The general windowed operator (window
+    metadata + counts output) keeps the explode shape below."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    wins = window_schedule(start, end, size, step)
+    needed = list(dict.fromkeys([*groups, target, ts_col, key_col]))
+    base = spread_input(
+        df.dropna(subset=[*groups, target, ts_col]).select(*needed)
+    ).withColumn(
+        "aggregator", aggregator_col(groups)
+    ).withColumn("target", F.col(target).cast("string"))
+    n_reg = len(wins) if len(wins) == 1 else len(wins) - 1
+    step_us = int(step.total_seconds() * 1_000_000)
+    size_us = int(size.total_seconds() * 1_000_000)
+    start_lit = F.unix_micros(F.lit(start).cast("timestamp"))
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp")) - start_lit
+    w = Window.partitionBy("aggregator", "target").orderBy(
+        F.col(ts_col).cast("timestamp"))
+    base = base.withColumn("_t", t_us).withColumn(
+        "_p",
+        F.unix_micros(F.lag(F.col(ts_col).cast("timestamp")).over(w))
+        - start_lit)
+    t_c, p_c = F.col("_t"), F.col("_p")
+    lo_us = F.greatest(t_c - F.lit(size_us),
+                       F.coalesce(p_c + F.lit(1), F.lit(-(1 << 62))))
+    hi_us = t_c - F.lit(size_us) + F.lit(step_us - 1)
+    i_lo = F.greatest(F.lit(0), F.ceil(lo_us / F.lit(step_us)).cast("long"))
+    i_hi = F.least(F.lit(n_reg - 1),
+                   F.floor(hi_us / F.lit(step_us)).cast("long"))
+    flagged = i_lo <= i_hi
+    if len(wins) > 1:  # final clamped scan [end-step, end]
+        end_us = int((end - start).total_seconds() * 1_000_000)
+        in_final = ((t_c > F.lit(end_us - step_us))
+                    & (t_c <= F.lit(end_us))
+                    & (F.coalesce(p_c, F.lit(-(1 << 62)))
+                       < F.lit(end_us - step_us)))
+        flagged = flagged | in_final
+    return base.where(flagged).select(key_col).distinct()

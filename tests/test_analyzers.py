@@ -265,3 +265,51 @@ def test_highlight_wildcard_atoms(spark):
         F.lit(1)).collect()
     assert sorted(list(vals[0]["v"]) + list(vals[1]["v"])) == [
         "Customer", "custom"]
+
+
+def test_sudden_docs_lag_formulation_matches_explode_minby(spark):
+    """sudden_appearance_docs (lag formulation, no window fan-out) must
+    flag exactly the docs the explode+min_by operator flags — including
+    window-start/final-step boundary timestamps (µs precision), events
+    outside [start, end], the final clamped scan, and the single-window
+    (size == history) case."""
+    import datetime as dt
+
+    from ee_outliers_spark.operators.sudden import sudden_appearance_docs
+
+    S = dt.datetime(2024, 1, 1)
+    E = dt.datetime(2024, 1, 5)
+    rows, i = [], 0
+
+    def add(ts, g="u1", t="a"):
+        nonlocal i
+        rows.append((i, g, t, ts))
+        i += 1
+
+    for h in [0, 4, 8, 7.99999, 8.000001, 11.9999997, 12, 12.0000003,
+              20, 95.9999, 96, 96.0001, 92, 91.9999997]:
+        add(S + dt.timedelta(hours=h))
+    add(S + dt.timedelta(hours=1), "u2", "x")
+    add(S + dt.timedelta(hours=9), "u2", "x")
+    add(S + dt.timedelta(hours=9, microseconds=1), "u2", "x")
+    add(S + dt.timedelta(hours=13), "u2", "x")
+    add(S - dt.timedelta(hours=5), "u3", "y")
+    add(E + dt.timedelta(hours=5), "u3", "y")
+    add(E - dt.timedelta(hours=2), "u3", "y")
+    add(E, "u4", "z")
+    add(E - dt.timedelta(hours=4), "u4", "z2")
+    add(E - dt.timedelta(hours=4) + dt.timedelta(microseconds=1), "u4", "z3")
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts timestamp")
+
+    for size_h, step_h in [(12, 4), (96, 4), (96, 96), (12, 12)]:
+        size, step = dt.timedelta(hours=size_h), dt.timedelta(hours=step_h)
+        want = {
+            r[0] for r in sudden_appearance(
+                df, ["user_id"], "event_type", "ts", S, E, size, step,
+                payload_cols=["event_id"]).select("event_id").collect()}
+        got = {
+            r[0] for r in sudden_appearance_docs(
+                df, ["user_id"], "event_type", "ts", S, E, size, step,
+                key_col="event_id").collect()}
+        assert got == want, (size_h, step_h, sorted(got ^ want))
