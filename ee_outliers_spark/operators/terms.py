@@ -33,6 +33,13 @@ from .whitelist import value_set_col, whitelist_predicate
 AGG_SEP = " - "  # composite-key separator (ref es.py:796-803, utils.py:160-184)
 
 
+#: Max rows of a group-level (aggregator[, target]) frame to broadcast back
+#: onto the row stream (~60 B/row ⇒ ≲30 MB in the driver/executors). Above
+#: this, joins fall back to sort-merge — unbounded aggregator cardinality
+#: must never turn into an unbounded broadcast (guide §3.2).
+_BROADCAST_GROUP_ROWS = 500_000
+
+
 def aggregator_col(groups: list[str]) -> Column:
     """Composite aggregator sentence — keeps the exact ' - ' join (ref A1)."""
     return F.concat_ws(AGG_SEP, *[F.col(g).cast("string") for g in groups])
@@ -157,14 +164,33 @@ def terms_within(
             F.count("*").alias("_nb")
         ).where(F.col("_nb") >= min_target_buckets).select("aggregator")
         counts = counts.join(ok, "aggregator", "left_semi")
+    # Materialize the GROUP-sized counts once: flag_outliers reads it twice
+    # (frontier aggregation + row side) and the samples/base joins read the
+    # flagged frame twice more — without a checkpoint the corpus-sized
+    # count aggregation re-ran once per branch (3× at 1M events, measured
+    # in the executed plan). Eager localCheckpoint is the repo's standard
+    # intra-query materialization (lineage truncated, blocks freed on GC).
+    counts = counts.localCheckpoint(eager=True)
     flagged = flag_outliers(
         counts, ["aggregator"], "term_count",
         trigger_method, trigger_sensitivity, trigger_on,
-    )
+    ).localCheckpoint(eager=True)
+    n_groups = flagged.count()  # already materialized — metadata-cheap
     samples = _non_outlier_samples(flagged)
+    flag_sel = flagged.select(
+        "aggregator", "target", "term_count", "decision_frontier",
+        "is_outlier")
+    # guide §3.1: broadcast the group-sized side when it provably fits —
+    # the row-level result then streams through two broadcast joins with
+    # ZERO row-side shuffles (vs two full sort-merge exchanges of the
+    # corpus). Checkpointed frames carry no size stats, so the planner
+    # cannot make this call itself; the row-count guard keeps unbounded-
+    # cardinality aggregators on the sort-merge path.
+    if n_groups <= _BROADCAST_GROUP_ROWS:
+        flag_sel = F.broadcast(flag_sel)
+        samples = F.broadcast(samples)
     return base.join(
-        flagged.select("aggregator", "target", "term_count", "decision_frontier",
-                       "is_outlier"),
+        flag_sel,
         ["aggregator", "target"],
         "inner",
     ).join(samples, "aggregator", "left")
@@ -188,13 +214,20 @@ def terms_across(
     )
     counts = _cap_buckets(counts, max_num_aggregators, None,
                           "unique_target_count")
+    # same shape as terms_within: one materialization of the group-sized
+    # frame, broadcast join back to rows when it provably fits
+    counts = counts.localCheckpoint(eager=True)
     flagged = flag_outliers(
         counts, [], "unique_target_count",
         trigger_method, trigger_sensitivity, trigger_on,
-    )
+    ).localCheckpoint(eager=True)
+    flag_sel = flagged.select(
+        "aggregator", "unique_target_count", "decision_frontier",
+        "is_outlier")
+    if flagged.count() <= _BROADCAST_GROUP_ROWS:
+        flag_sel = F.broadcast(flag_sel)
     return base.join(
-        flagged.select("aggregator", "unique_target_count", "decision_frontier",
-                       "is_outlier"),
+        flag_sel,
         "aggregator",
         "inner",
     )
