@@ -125,9 +125,15 @@ def bm25_score_df(
     idf = F.log(
         F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
+    # broadcast the doclen side when the corpus provably fits (n_docs is a
+    # parameter): the postings stream then reaches its doc_id aggregation
+    # through ONE exchange instead of a sort-merge shuffle of both sides
+    # (guide §3.1). Large corpora keep the shuffle join — doclen is
+    # corpus-sized and must never become an unbounded broadcast.
+    dl = F.broadcast(doclen) if n_docs <= 500_000 else doclen
     scored = (
         p.join(F.broadcast(tstats), "term")
-        .join(doclen, "doc_id")
+        .join(dl, "doc_id")
         .select(
             "doc_id",
             "term",

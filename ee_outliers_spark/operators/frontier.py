@@ -100,6 +100,13 @@ def outlier_test(value_col: Column, frontier_col: Column, trigger_on: str) -> Co
     raise ValueError(f"unexpected trigger condition {trigger_on}")
 
 
+#: Max rows of a group-level frame to broadcast back onto the row stream
+#: (~60 B/row ⇒ ≲30 MB). Above this, joins fall back to sort-merge —
+#: unbounded aggregator cardinality must never become an unbounded
+#: broadcast (guide §3.2).
+BROADCAST_GROUP_ROWS = 500_000
+
+
 def flag_outliers(
     df: DataFrame,
     groups: list[str],
@@ -113,6 +120,15 @@ def flag_outliers(
     coeff_of_variation flags every row of a group whose σ/µ crosses the
     sensitivity (the whole-group semantics of terms.py:383-396)."""
     fr = frontier_df(df, groups, value, method, sensitivity, trigger_on)
+    if groups:
+        # one decision_frontier row per group: materialize it (it is read
+        # once but its size is opaque to the planner) and broadcast it
+        # back onto the rows when it provably fits — the row stream then
+        # crosses NO exchange for the frontier join (guide §3.1; the
+        # planner otherwise picks a full sort-merge shuffle of the rows)
+        fr = fr.localCheckpoint(eager=True)
+        if fr.count() <= BROADCAST_GROUP_ROWS:
+            fr = F.broadcast(fr)
     # empty groups = one global frontier (ref terms across_aggregators)
     out = df.join(fr, groups, "left") if groups else df.crossJoin(F.broadcast(fr))
     if method == "coeff_of_variation":

@@ -27,17 +27,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .frontier import flag_outliers, frontier_df, outlier_test
+from .frontier import (BROADCAST_GROUP_ROWS, flag_outliers, frontier_df,
+                       outlier_test)
 from .whitelist import value_set_col, whitelist_predicate
 
 AGG_SEP = " - "  # composite-key separator (ref es.py:796-803, utils.py:160-184)
-
-
-#: Max rows of a group-level (aggregator[, target]) frame to broadcast back
-#: onto the row stream (~60 B/row ⇒ ≲30 MB in the driver/executors). Above
-#: this, joins fall back to sort-merge — unbounded aggregator cardinality
-#: must never turn into an unbounded broadcast (guide §3.2).
-_BROADCAST_GROUP_ROWS = 500_000
 
 
 def aggregator_col(groups: list[str]) -> Column:
@@ -186,7 +180,7 @@ def terms_within(
     # corpus). Checkpointed frames carry no size stats, so the planner
     # cannot make this call itself; the row-count guard keeps unbounded-
     # cardinality aggregators on the sort-merge path.
-    if n_groups <= _BROADCAST_GROUP_ROWS:
+    if n_groups <= BROADCAST_GROUP_ROWS:
         flag_sel = F.broadcast(flag_sel)
         samples = F.broadcast(samples)
     return base.join(
@@ -224,7 +218,7 @@ def terms_across(
     flag_sel = flagged.select(
         "aggregator", "unique_target_count", "decision_frontier",
         "is_outlier")
-    if flagged.count() <= _BROADCAST_GROUP_ROWS:
+    if flagged.count() <= BROADCAST_GROUP_ROWS:
         flag_sel = F.broadcast(flag_sel)
     return base.join(
         flag_sel,
