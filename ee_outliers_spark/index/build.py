@@ -1084,6 +1084,14 @@ def write_manifest(spark: SparkSession, paths: IndexPaths, seg_ids: list[int],
             }) + "\n")
 
 
+#: Append-batch termstats merges fold driver-side (pyarrow read-merge-
+#: write, zero distributed jobs) when the batch dictionary and the old
+#: termstats are provably this small; bigger either way → distributed
+#: union-aggregate. ~200k rows ≈ a few MB of (term, df) pairs.
+DRIVER_MERGE_MAX_TERMS = 200_000
+DRIVER_MERGE_MAX_BYTES = 32 * 1024 * 1024
+
+
 def incremental_append_refresh(spark: SparkSession, paths: IndexPaths,
                                new_ids: list[int],
                                sidecar_rows: list | None = None) -> bool:
@@ -1139,16 +1147,55 @@ def incremental_append_refresh(spark: SparkSession, paths: IndexPaths,
     if live is not None:
         stats["live_segments"] = sorted(
             {int(s) for s in live} | {int(s) for s in new_ids})
+    # termstats merge. The batch's dictionary row count is known from the
+    # already-collected sidecars (Σ df_local over the new segments' doclen
+    # rows), so a SMALL batch against a SMALL dictionary folds entirely
+    # driver-side: one pruned collect of the new (term, df) rows + a
+    # pyarrow read-merge-write — no distributed aggregation job, no
+    # Spark parquet-write job, the right cost for streaming many tiny
+    # batches (a Lucene-style in-process small-segment merge). A big batch
+    # or a big dictionary keeps the distributed union-aggregate.
+    n_term_rows = sum(int(r["df_local"]) for r in sidecar_rows
+                     if r["term"] is None)
+    ts_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(paths.termstats) for f in fs)
     new_ts = (
         new_segs.where(F.col("term").isNotNull()
                        & ~F.col("term").endswith(":"))
         .select("term", F.col("df_local").cast("long").alias("df")))
-    merged = (spark.read.parquet(paths.termstats).unionByName(new_ts)
-              .groupBy("term").agg(F.sum("df").cast("long").alias("df")))
     tmp = paths.termstats + ".tmp"
     old = paths.termstats + ".old"
     shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(tmp)
+    if (n_term_rows <= DRIVER_MERGE_MAX_TERMS
+            and ts_bytes <= DRIVER_MERGE_MAX_BYTES):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        adds: dict[str, int] = {}
+        for r in new_ts.collect():
+            adds[r["term"]] = adds.get(r["term"], 0) + int(r["df"])
+        files = sorted(
+            os.path.join(dp, f) for dp, _, fs in os.walk(paths.termstats)
+            for f in fs if f.endswith(".parquet"))
+        olddf = (pd.concat([pq.read_table(f).to_pandas() for f in files],
+                           ignore_index=True)
+                 if files else pd.DataFrame({"term": [], "df": []}))
+        dfs = dict(zip(olddf["term"], olddf["df"].astype("int64")))
+        for t, d in adds.items():
+            dfs[t] = int(dfs.get(t, 0)) + d
+        out = pd.DataFrame({"term": list(dfs), "df": list(dfs.values())})
+        out["df"] = out["df"].astype("int64")
+        os.makedirs(tmp)
+        pq.write_table(
+            pa.Table.from_pandas(out, preserve_index=False,
+                                 schema=pa.schema([("term", pa.string()),
+                                                   ("df", pa.int64())])),
+            os.path.join(tmp, "part-00000.parquet"))
+    else:
+        merged = (spark.read.parquet(paths.termstats).unionByName(new_ts)
+                  .groupBy("term").agg(F.sum("df").cast("long").alias("df")))
+        merged.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(old, ignore_errors=True)
     os.rename(paths.termstats, old)
     os.rename(tmp, paths.termstats)

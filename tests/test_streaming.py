@@ -265,16 +265,24 @@ def test_streaming_first_seen_stateful_across_restarts(
     assert got2 == got | {("hostA", "proc3", 22), ("hostB", "proc2", 25)}
 
 
+@pytest.mark.parametrize("driver_merge", [True, False])
 def test_incremental_append_refresh_matches_full_recompute(
-        spark, documents, tmp_path_factory):
+        spark, documents, tmp_path_factory, monkeypatch, driver_merge):
     """The O(batch)+O(vocab) append fold must be value-identical to the full
-    all-segments refresh: stats.json (incl. exact sum_dl totals and
-    per-field stats) and every termstats df row."""
+    all-segments refresh — through BOTH termstats-merge arms (driver-side
+    pyarrow fold for provably-small batches; distributed union-aggregate
+    otherwise): stats.json (incl. exact sum_dl totals and per-field stats)
+    and every termstats df row."""
     import json
 
-    from ee_outliers_spark.index.build import refresh_stats_and_termstats
+    from ee_outliers_spark.index import build as B
 
-    out = str(tmp_path_factory.mktemp("index_incr_fold"))
+    if not driver_merge:
+        # force the distributed union-aggregate arm
+        monkeypatch.setattr(B, "DRIVER_MERGE_MAX_TERMS", 0)
+
+    out = str(tmp_path_factory.mktemp(
+        f"index_incr_fold_{int(driver_merge)}"))
     first = documents.where(F.col("doc_id") < 300)
     second = documents.where(F.col("doc_id") >= 300)
     paths = build_segments(spark, first, "doc_id", "text", out,
@@ -288,7 +296,7 @@ def test_incremental_append_refresh_matches_full_recompute(
     assert "sum_dl" in incr_stats
     assert all("sum_dl" in v for v in incr_stats["field_stats"].values())
 
-    refresh_stats_and_termstats(spark, paths)  # full recompute, same live set
+    B.refresh_stats_and_termstats(spark, paths)  # full recompute, same live
     full_stats = json.load(open(paths.stats))
     full_ts = {r["term"]: int(r["df"])
                for r in spark.read.parquet(paths.termstats).collect()}
