@@ -762,6 +762,19 @@ def routed_segment_groupby(df: DataFrame, seg_ids: list[int] | None,
 #: lost; routing the text keeps the exchange at 1× corpus bytes.
 PAIR_STREAM = os.environ.get("SPARK_GRAFT_PAIR_STREAM", "textroute")
 
+#: NON-positional build kernel. "text" (default since the round-7
+#: continuation): route the raw text and tokenize+invert+encode in-worker —
+#: the same shape as the positional default, now that the Arrow-native
+#: kernel tokenizer (RE2 split + dictionary_encode, no per-token Python
+#: objects) removed the Python-tokenize penalty that made round 1 prefer
+#: JVM pair streams. Interleaved same-JVM A/Bs, non-positional builds:
+#: 6M docs text 25.2/27.4/27.6 s vs textroute 37.8/40.9/45.1 s (0.67×);
+#: 600k text 4.82 vs 6.93 s; sf-level warm 1.1 vs 1.2-1.5 s — the JVM
+#: tokenize+explode+aggregate stage (33 s of the 6M textroute build's
+#: 44 s) costs more than shipping text once and tokenizing in the C-path
+#: kernel. "textroute"/"agg" keep the JVM pair streams (PAIR_STREAM).
+NONPOS_KERNEL = os.environ.get("SPARK_GRAFT_NONPOS_KERNEL", "text")
+
 
 def _textroute_pair_groupby(base: DataFrame, num_segments: int,
                             analyzed_fields: tuple[str, ...] = (),
@@ -817,7 +830,8 @@ def segment_frames_df(base: DataFrame, num_segments: int, positions: bool,
     trade-off; ``via_text`` overrides either way. ``todo`` prunes to
     unfinished seg_ids (resume)."""
     if via_text is None:
-        via_text = positions and POSITIONAL_KERNEL == "text"
+        via_text = (positions and POSITIONAL_KERNEL == "text") or (
+            not positions and NONPOS_KERNEL == "text")
     if not via_text and not positions and PAIR_STREAM == "textroute":
         return _textroute_pair_groupby(
             base, num_segments, tuple(analyzed_fields), seg_offset, todo,
