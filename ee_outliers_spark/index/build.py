@@ -745,7 +745,10 @@ def routed_segment_groupby(df: DataFrame, seg_ids: list[int] | None,
 
 #: Non-positional pair-stream shape. "agg" (two exchanges): explode →
 #: groupBy(seg,term,doc) with map-side combine → route repartition →
-#: kernel. "textroute" (default since round 7 — ONE exchange): route the
+#: kernel. Selects the stream used WHEN a pairs-shaped path is chosen
+#: (NONPOS_KERNEL below defaults non-positional builds to the text kernel
+#: instead; this stream remains the JVM-tokenize alternative).
+#: "textroute" (ONE exchange): route the
 #: RAW TEXT by segment first (1× corpus bytes — the Lucene doc→shard
 #: shape), then tokenize + explode + aggregate POST-shuffle: the grouping
 #: keys include the route key, so Catalyst elides the aggregation
