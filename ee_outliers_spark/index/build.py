@@ -1230,27 +1230,29 @@ def auto_num_segments(spark: SparkSession, n_docs: int,
     (term, doc, tf[, poss]) frame: web-scale docs average a few hundred
     distinct (term, doc) pairs at ~40 B each, so ``docs_per_segment``=16k
     keeps a task's frame in the low hundreds of MB — comfortably inside an
-    executor core's share even with the pandas/Arrow copy. A corpus that
-    fits one wave gets exactly one segment per core; past that the count
-    rounds UP to ≥2 waves (2× parallelism) — measured on the 600k bench
-    corpus, 37 segments on 32 cores (1.16 waves) made conjunction queries
-    2× slower than 128 (straggler tail of a fractional second wave), while
-    ≥2 full waves smooth it. Above that, the count rounds DOWN to a WHOLE
-    multiple of the core count: per-segment query overhead is linear in
-    segment count (round-6 decomposition, BENCH.md — the same 2.4M corpus
-    answered qs_count in 0.80 s at 64 segments vs 1.00 s at 147), and a
-    ragged last wave (147 segs = 4.6 waves) pays a straggler tail on every
-    query, so 147 → 128 (4 exact waves) is strictly better; the ≤1.5×
-    stretch guard keeps the implied segment size near the memory budget
-    (floor rounding at ≥2 waves can never exceed it anyway). The cap
-    bounds the partition-directory count for one index — a corpus that
-    would exceed it (≫10^8 docs) should shard into multiple indexes (by
-    day/tenant), which the day-partitioned layout already does.
+    executor core's share even with the pandas/Arrow copy. A corpus below
+    one wave's budget gets a NEED-SCALED count, not one segment per core
+    (round-7 revision of the round-6 cores-floor): segments of ~4k docs
+    (budget/4) keep per-task kernel work well above per-task overhead
+    while spinning only as many Python workers as the data justifies —
+    interleaved fresh-JVM A/Bs (bench_evidence/segfloor_r7/) measured the
+    5k-doc build 4.4-5.1 s at 2-5 segments vs 5.2-6.0 s at the 32-segment
+    cores floor, and the 50k-doc build 4.4-4.5 s at 13 segments vs
+    5.3-5.5 s at 32, with every query shape 10-30% faster on the smaller
+    index (fewer per-segment files; query kernels pack into `cores` reduce
+    tasks either way, so the old many-segments query argument is gone).
+    The floor stays ≥ the SPIMI need (smaller-than-budget segments only —
+    the safe direction) and ≤ cores, so corpora past one wave are
+    untouched. The cap bounds the partition-directory count for one
+    index — a corpus that would exceed it (≫10^8 docs) should shard into
+    multiple indexes (by day/tenant), which the day-partitioned layout
+    already does.
     """
     cores = spark.sparkContext.defaultParallelism
     need = math.ceil(max(1, n_docs) / docs_per_segment)
     if need <= cores:
-        return cores
+        return min(cores, max(need, math.ceil(
+            max(1, n_docs) / max(1, docs_per_segment // 4))))
     # Need-based count, NOT rounded down to whole waves (round-7 revision
     # of the round-6 wave alignment): the two-armed interleaved probe at
     # 2.4M docs (bench_evidence/wave_align_r7/) measured ceil-need 147

@@ -710,18 +710,33 @@ def test_phrase_seg_match_repeated_sloppy_randomized():
 
 
 def test_auto_num_segments_budget(spark):
-    """Derived segment count follows the SPIMI memory budget: floor at the
-    core count, ~16k docs per segment (ceil of the need) above it — the
-    round-7 two-armed wave-align probe measured need-based counts ~10%
-    faster to build than wave-down-rounded ones, and query kernels now
-    pack into `cores` tasks regardless of segment count — capped (beyond
-    the cap a corpus shards into multiple indexes)."""
+    """Derived segment count follows the SPIMI memory budget: ~16k docs
+    per segment (ceil of the need) past one wave — the round-7 two-armed
+    wave-align probe measured need-based counts ~10% faster to build than
+    wave-down-rounded ones, and query kernels now pack into `cores` tasks
+    regardless of segment count — capped (beyond the cap a corpus shards
+    into multiple indexes). BELOW one wave the count is need-scaled
+    (~4k docs per segment, capped at cores), not floored at the core
+    count: interleaved fresh-JVM A/Bs (bench_evidence/segfloor_r7/)
+    measured 5k-doc builds ~1 s faster at 2-5 segments than at 32, and
+    50k-doc builds ~1 s faster at 13 — spinning one Python worker per
+    core for a corpus whose whole kernel fits one task is pure cold-start
+    contention."""
     import math
 
     from ee_outliers_spark.index.build import auto_num_segments
 
     cores = spark.sparkContext.defaultParallelism
-    assert auto_num_segments(spark, 100) == cores
+    # Tiny corpora: one segment per ~4k docs, never more than cores.
+    assert auto_num_segments(spark, 100) == 1
+    assert auto_num_segments(spark, 5_000) == min(cores, 2)
+    assert auto_num_segments(spark, 50_000) == min(cores, 13)
+    # The small-corpus floor never drops below the SPIMI need and joins
+    # the need path continuously at one wave (need == cores).
+    n_midsize = 131_072  # need 8; small-floor ceil(n/4096) = 32
+    expect = 8 if cores < 8 else min(cores, 32)
+    assert auto_num_segments(spark, n_midsize) == expect
+    assert auto_num_segments(spark, 16_384 * cores) == cores
     # 1M docs -> need ceil(1M/16384) = 62 segments (exact memory budget)
     assert auto_num_segments(spark, 1_000_000) == max(cores, 62)
     # 2.4M -> need 147: the budget, not a wave-rounded substitute
