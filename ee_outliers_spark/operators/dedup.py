@@ -244,6 +244,15 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     rows = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, k, num_perm, seed)
+    # The band self-join references `sig` on BOTH sides, and the broadcast
+    # build side cannot reuse the probe side's exchange, so the signature
+    # Arrow pass — the expensive corpus-sized stage — would run twice.
+    # Materialize it once (eager localCheckpoint, the repo's standard
+    # intra-query materialization): (id, 64×long) is ~520 B/doc, far
+    # smaller than the text it came from. Interleaved fresh-JVM A/Bs
+    # (bench_evidence/segfloor_r7/): warm pairs 1.3-1.7 s → 1.0-1.4 s at
+    # 5k docs, first call 14.5 → 10.8 s on the 50k dup-heavy replica.
+    sig = sig.localCheckpoint(eager=True)
     band_arr = F.array(
         *[
             F.concat_ws(

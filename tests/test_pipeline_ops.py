@@ -136,6 +136,20 @@ def test_minhash_lsh_recall(spark, near_dup_docs):
         assert _jaccard(_grams(docs[a]), _grams(docs[b])) >= 0.1
 
 
+def test_minhash_pairs_signature_pass_not_duplicated(spark, near_dup_docs):
+    """The band self-join references the signature frame on both sides and
+    the broadcast build side cannot reuse the probe side's exchange, so
+    without up-front materialization the corpus-sized signature Arrow pass
+    runs twice. minhash_lsh_pairs materializes signatures once (eager
+    localCheckpoint); the returned plan must therefore contain NO Python
+    evaluation node at all — a reappearing {Arrow,Batch}EvalPython means
+    the double evaluation regressed."""
+    pairs = minhash_lsh_pairs(near_dup_docs, "doc_id", "text",
+                              k=3, num_perm=64, bands=16, threshold=0.4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+
+
 def test_simhash_matches_python_oracle(spark, near_dup_docs):
     got = {r["doc_id"]: r["simhash"] for r in
            simhash(near_dup_docs, "doc_id", "text").collect()}
