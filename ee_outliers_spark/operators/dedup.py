@@ -115,12 +115,17 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` docs. Pass None to disable (exact raw-set Jaccard,
     quadratic risk accepted).
     """
-    inv = _shingle_rows(df, id_col, text_col, k)
+    # The shingle frame feeds the df-cap aggregation, the capped join, the
+    # per-doc sizes AND both self-join sides; without materialization each
+    # reference re-runs the corpus-sized tokenize+shingle Arrow pass (the
+    # executed plan held EIGHT copies of it — 16 EvalPython nodes). Two
+    # eager localCheckpoints (raw, then capped) run the pass exactly once.
+    inv = _shingle_rows(df, id_col, text_col, k).localCheckpoint(eager=True)
     if max_shingle_df is not None:
         good = inv.groupBy("g").agg(F.count("*").alias("df_")).where(
             F.col("df_") <= max_shingle_df
         )
-        inv = inv.join(good.select("g"), "g")
+        inv = inv.join(good.select("g"), "g").localCheckpoint(eager=True)
     # sizes AFTER the cap: |filtered set|, consistent with the intersection
     sizes = inv.groupBy("_id").agg(F.count("*").alias("n"))
     a = inv.alias("a")
@@ -345,6 +350,10 @@ def simhash_neardup_pairs(
     fps = simhash(df, id_col, text_col).select(
         F.col(id_col).alias("_id"), "simhash"
     )
+    # Both self-join sides reference fps; materialize the (id, long)
+    # fingerprint frame once so the corpus-sized tokenize+simhash Arrow
+    # pass is not evaluated per side (same fix as minhash_lsh_pairs).
+    fps = fps.localCheckpoint(eager=True)
     chunks = fps.select(
         "_id", "simhash",
         F.posexplode(
@@ -461,11 +470,17 @@ def embedding_neardup_lsh(
     )
     norm = F.sqrt(F.aggregate("_v", F.lit(0.0), lambda acc, x: acc + x * x))
     v = v.withColumn("_n", norm).where(F.col("_n") > 0)
+    # Compute the per-table codes ONCE and materialize (1× vectors + 8
+    # longs per row): both self-join sides previously re-ran the Arrow
+    # matmul UDF over the whole corpus; after the checkpoint only the
+    # cheap JVM posexplode is duplicated per side.
+    v = v.withColumn(
+        "_codes", lsh_codes_col("_v", dim=None, n_bits=n_bits,
+                                n_tables=n_tables, seed=seed)
+    ).localCheckpoint(eager=True)
     coded = v.select(
         "_id", "_v", "_n",
-        F.posexplode(lsh_codes_col("_v", dim=None, n_bits=n_bits,
-                                   n_tables=n_tables, seed=seed)
-                     ).alias("_t", "_code"),
+        F.posexplode("_codes").alias("_t", "_code"),
     )
     a, b = coded.alias("a"), coded.alias("b")
     dot = F.aggregate(

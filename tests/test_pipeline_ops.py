@@ -136,18 +136,35 @@ def test_minhash_lsh_recall(spark, near_dup_docs):
         assert _jaccard(_grams(docs[a]), _grams(docs[b])) >= 0.1
 
 
-def test_minhash_pairs_signature_pass_not_duplicated(spark, near_dup_docs):
-    """The band self-join references the signature frame on both sides and
-    the broadcast build side cannot reuse the probe side's exchange, so
-    without up-front materialization the corpus-sized signature Arrow pass
-    runs twice. minhash_lsh_pairs materializes signatures once (eager
-    localCheckpoint); the returned plan must therefore contain NO Python
-    evaluation node at all — a reappearing {Arrow,Batch}EvalPython means
-    the double evaluation regressed."""
-    pairs = minhash_lsh_pairs(near_dup_docs, "doc_id", "text",
-                              k=3, num_perm=64, bands=16, threshold=0.4)
-    plan = pairs._jdf.queryExecution().executedPlan().toString()
-    assert "EvalPython" not in plan, plan
+def test_pair_generators_arrow_pass_not_duplicated(spark, near_dup_docs):
+    """Every pair generator self-joins a frame computed by a corpus-sized
+    Arrow pass (minhash signatures, simhash fingerprints, shingle rows,
+    LSH codes), and a broadcast build side cannot reuse the probe side's
+    exchange — so without up-front materialization the pass is evaluated
+    once PER REFERENCE (the ngram executed plan held EIGHT copies of the
+    tokenize+shingle kernel). Each generator materializes the pass once
+    (eager localCheckpoint); the returned plans must therefore contain NO
+    Python evaluation node — a reappearing {Arrow,Batch}EvalPython means
+    the duplication regressed."""
+    from ee_outliers_spark.operators.dedup import (
+        embedding_neardup_lsh, ngram_jaccard_pairs, simhash_neardup_pairs,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, float(i % 2)]) for i in range(1, 30)],
+        "vec_id long, embedding array<double>")
+    frames = {
+        "minhash": minhash_lsh_pairs(near_dup_docs, "doc_id", "text",
+                                     k=3, num_perm=64, bands=16,
+                                     threshold=0.4),
+        "ngram": ngram_jaccard_pairs(near_dup_docs, "doc_id", "text",
+                                     k=3, threshold=0.5),
+        "simhash": simhash_neardup_pairs(near_dup_docs, "doc_id", "text"),
+        "emb_lsh": embedding_neardup_lsh(vecs, "vec_id", "embedding"),
+    }
+    for name, df in frames.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, (name, plan)
 
 
 def test_simhash_matches_python_oracle(spark, near_dup_docs):
