@@ -207,12 +207,19 @@ def _scored_pairs(
     window: int, max_voc_size: int, min_voc_occurrence: int,
     use_prob_model: bool = True, nn_params: dict | None = None,
 ) -> DataFrame:
-    toks = tokens_positions(df, groups, text_id, text_col)
+    # Every frame here is referenced more than once (toks: vocabulary +
+    # vocab join; toks_voc: both skip-gram self-join sides; pairs: the
+    # model aggregation AND the score join), so without materialization
+    # each reference re-expands the whole upstream subtree — the executed
+    # plan re-ran the corpus scan+tokenize 8+ times. Eager localCheckpoints
+    # run each stage exactly once (same fix as the dedup pair generators).
+    toks = tokens_positions(df, groups, text_id, text_col).localCheckpoint(
+        eager=True)
     voc = vocabulary(toks, max_voc_size, min_voc_occurrence)
     toks_voc = toks.join(voc, ["aggregator", "word"]).select(
         "aggregator", "text_id", "pos", "voc_word"
-    )
-    pairs = skipgram_pairs(toks_voc, window)
+    ).localCheckpoint(eager=True)
+    pairs = skipgram_pairs(toks_voc, window).localCheckpoint(eager=True)
     model = (prob_model(pairs) if use_prob_model
              else nn_model(pairs, **(nn_params or {})))
     return pairs.join(model, ["aggregator", "center", "ctx"])
